@@ -1,0 +1,151 @@
+"""The NGP radiance field: hash encoding + tiny MLPs + SH directions.
+
+Re-designs the reference model (reference models/networks.py:13-153) for TPU:
+tinycudann's fused fp16 CUDA MLPs become bf16 XLA matmuls (64-wide layers map
+onto the MXU once batched over the sample pool); the hash encoder is
+ops.hash_encoding; SH is closed-form VPU math.  Parameters are a plain pytree
+(no framework dependency) so they shard/replicate freely under jit.
+
+Like tinycudann's FullyFusedMLP, the MLPs are bias-free ReLU stacks.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ngp_pl_tpu.config import NGPConfig
+from ngp_pl_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    hash_encode,
+    init_hash_table,
+    make_grid_spec,
+)
+from ngp_pl_tpu.ops.sh import sh_encode
+from ngp_pl_tpu.ops.trunc_exp import trunc_exp
+
+Params = Dict[str, Any]
+
+
+def _mlp_init(key, sizes):
+    """He-uniform init for a bias-free ReLU MLP given layer sizes."""
+    ws = []
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        bound = (6.0 / fan_in) ** 0.5
+        ws.append(jax.random.uniform(sub, (fan_in, fan_out), jnp.float32,
+                                     -bound, bound))
+    return ws
+
+
+def _mlp_apply(ws, x, dtype, out_act=None):
+    h = x.astype(dtype)
+    for i, w in enumerate(ws):
+        h = h @ w.astype(dtype)
+        if i < len(ws) - 1:
+            h = jax.nn.relu(h)
+    h = h.astype(jnp.float32)
+    if out_act is not None:
+        h = out_act(h)
+    return h
+
+
+def grid_spec_for(cfg: NGPConfig) -> HashGridSpec:
+    return make_grid_spec(
+        n_levels=cfg.n_levels,
+        n_features=cfg.n_features_per_level,
+        log2_hashmap_size=cfg.log2_hashmap_size,
+        base_resolution=cfg.base_resolution,
+        per_level_scale=cfg.per_level_scale,
+    )
+
+
+def init_ngp_params(key, cfg: NGPConfig) -> Params:
+    spec = grid_spec_for(cfg)
+    k_table, k_sigma, k_rgb, k_tm = jax.random.split(key, 4)
+    enc_dim = spec.out_dim                                  # 32
+    sh_dim = cfg.sh_degree ** 2                             # 16
+    params: Params = {
+        "hash_table": init_hash_table(k_table, spec),
+        # xyz feature MLP: 32 -> 64 -> 16 (reference networks.py:48-56)
+        "sigma_mlp": _mlp_init(
+            k_sigma,
+            [enc_dim] + [cfg.sigma_hidden] * cfg.sigma_layers + [cfg.geo_features],
+        ),
+        # rgb MLP: (16 SH + 16 feat) -> 64 -> 64 -> 3 (networks.py:67-77)
+        "rgb_mlp": _mlp_init(
+            k_rgb,
+            [sh_dim + cfg.geo_features] + [cfg.rgb_hidden] * cfg.rgb_layers + [3],
+        ),
+    }
+    if cfg.rgb_act == "None":
+        # per-channel HDR tonemappers 1 -> 64 -> 1 (networks.py:79-92)
+        keys = jax.random.split(k_tm, 3)
+        params["tonemapper"] = [
+            _mlp_init(keys[i], [1, 64, 1]) for i in range(3)
+        ]
+    return params
+
+
+class NGP:
+    """Stateless functional wrapper bundling config + static grid spec."""
+
+    def __init__(self, cfg: NGPConfig):
+        self.cfg = cfg
+        self.spec = grid_spec_for(cfg)
+        self.dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" else jnp.float32
+
+    def init(self, key) -> Params:
+        return init_ngp_params(key, self.cfg)
+
+    # --- field queries -------------------------------------------------
+    def density(self, params: Params, x: jnp.ndarray, return_feat: bool = False):
+        """x: (N, 3) world positions in [-scale, scale]^3 -> sigma (N,)
+        (reference networks.py:94-107)."""
+        cfg = self.cfg
+        xn = (x + cfg.scale) / (2.0 * cfg.scale)            # -> [0, 1]
+        enc = hash_encode(xn, params["hash_table"], self.spec)
+        h = _mlp_apply(params["sigma_mlp"], enc, self.dtype)
+        sigma = trunc_exp(h[:, 0])
+        if return_feat:
+            return sigma, h
+        return sigma
+
+    def forward(
+        self,
+        params: Params,
+        x: jnp.ndarray,
+        d: jnp.ndarray,
+        exposure: Optional[jnp.ndarray] = None,
+        output_radiance: bool = False,
+    ):
+        """(sigma (N,), rgb (N, 3)) from positions + view dirs
+        (reference networks.py:132-153)."""
+        cfg = self.cfg
+        sigma, h = self.density(params, x, return_feat=True)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        sh = sh_encode((d + 1.0) * 0.5, cfg.sh_degree)
+        feats = jnp.concatenate([sh, h], axis=-1)
+        if cfg.rgb_act == "Sigmoid":
+            rgb = _mlp_apply(params["rgb_mlp"], feats, self.dtype,
+                             out_act=jax.nn.sigmoid)
+        else:  # HDR mode: rgb_mlp emits log-radiance (networks.py:109-130)
+            log_rad = _mlp_apply(params["rgb_mlp"], feats, self.dtype)
+            if output_radiance:
+                rgb = trunc_exp(log_rad)
+            else:
+                log_exp = jnp.log(exposure) if exposure is not None else 0.0
+                chans = []
+                for i in range(3):
+                    inp = log_rad[:, i:i + 1] + log_exp
+                    chans.append(
+                        _mlp_apply(params["tonemapper"][i], inp, self.dtype,
+                                   out_act=jax.nn.sigmoid)
+                    )
+                rgb = jnp.concatenate(chans, axis=-1)
+        return sigma, rgb
+
+    def __call__(self, params, x, d, **kw):
+        return self.forward(params, x, d, **kw)

@@ -1,0 +1,110 @@
+"""Differentiable front-to-back volume compositing over the flat sample pool.
+
+Replaces `composite_train_fw` / `composite_train_bw`
+(reference models/csrc/volumerendering.cu:6-202).  The CUDA version walks each
+ray's samples sequentially accumulating transmittance with an early break at
+T <= T_threshold; the backward re-walks the ray using the accumulated-color
+suffix trick.  On TPU the same math is a segment-wise prefix scan:
+
+    alpha_s = 1 - exp(-sigma_s * delta_s)
+    T_s     = exp(-excl_cumsum_segment(sigma * delta))   (since 1-alpha = e^-sd)
+    w_s     = alpha_s * T_s
+    keep_s  = T_s > T_threshold        (early-stop as a mask, not a break)
+
+One global cumsum over the pool plus a per-segment base subtraction implements
+the segment scan with fixed shapes.  The whole graph is smooth jnp, so JAX
+autodiff produces exactly the analytic backward the reference hand-writes
+(volumerendering.cu:127-148) — verified against finite differences in
+tests/test_volume_render.py.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_excl_cumsum(x: jnp.ndarray, offsets: jnp.ndarray,
+                        ray_idx: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumsum within contiguous segments of a flat pool.
+
+    x: (P,) values (must be 0 in invalid slots).
+    offsets: (N_rays,) segment start slots.
+    ray_idx: (P,) owning segment per slot (clamped for invalid slots).
+    """
+    c = jnp.cumsum(x)
+    excl = c - x
+    seg_base = excl[jnp.clip(offsets, 0, x.shape[0] - 1)]     # (N_rays,)
+    ridx = jnp.clip(ray_idx, 0, offsets.shape[0] - 1)
+    return excl - seg_base[ridx]
+
+
+def composite_train(
+    sigmas: jnp.ndarray,     # (P,)
+    rgbs: jnp.ndarray,       # (P, 3)
+    deltas: jnp.ndarray,     # (P,)
+    ts: jnp.ndarray,         # (P,)
+    ray_idx: jnp.ndarray,    # (P,) int32, == N_rays for unused slots
+    valid: jnp.ndarray,      # (P,) bool
+    offsets: jnp.ndarray,    # (N_rays,)
+    n_rays: int,
+    T_threshold: float = 1e-4,
+) -> Dict[str, jnp.ndarray]:
+    """Returns rgb/depth/opacity per ray + per-sample weights `ws` and the
+    per-ray effective (post-early-stop) sample count `vr_samples`."""
+    vmask = valid
+    sd = jnp.where(vmask, sigmas * deltas, 0.0)
+    excl = segment_excl_cumsum(sd, offsets, ray_idx)
+    T = jnp.exp(-excl)                                        # transmittance before s
+    alpha = 1.0 - jnp.exp(-sd)
+    keep = T > T_threshold                                    # reference break cond.
+    w = jnp.where(vmask & keep, alpha * T, 0.0)
+
+    seg = jnp.where(vmask, ray_idx, n_rays)
+    opacity = jax.ops.segment_sum(w, seg, num_segments=n_rays + 1)[:-1]
+    depth = jax.ops.segment_sum(w * ts, seg, num_segments=n_rays + 1)[:-1]
+    rgb = jax.ops.segment_sum(w[:, None] * rgbs, seg, num_segments=n_rays + 1)[:-1]
+    vr_samples = jax.ops.segment_sum(
+        (vmask & keep).astype(jnp.int32), seg, num_segments=n_rays + 1)[:-1]
+
+    return {
+        "opacity": opacity,
+        "depth": depth,
+        "rgb": rgb,
+        "ws": w,
+        "vr_samples": vr_samples,
+    }
+
+
+def composite_test_round(
+    sigmas: jnp.ndarray,     # (N, S) this round's densities
+    rgbs: jnp.ndarray,       # (N, S, 3)
+    deltas: jnp.ndarray,     # (N, S)
+    ts: jnp.ndarray,         # (N, S)
+    sample_valid: jnp.ndarray,  # (N, S) bool
+    opacity: jnp.ndarray,    # (N,) running
+    depth: jnp.ndarray,      # (N,) running
+    rgb: jnp.ndarray,        # (N, 3) running
+    alive: jnp.ndarray,      # (N,) bool
+    T_threshold: float,
+):
+    """One round of incremental inference compositing
+    (reference volumerendering.cu:205-285): resumes at T = 1 - opacity,
+    accumulates this round's samples, and kills converged / no-hit rays.
+    Returns updated (opacity, depth, rgb, alive)."""
+    sd = jnp.where(sample_valid & alive[:, None], sigmas * deltas, 0.0)
+    excl = jnp.cumsum(sd, axis=1) - sd
+    T0 = (1.0 - opacity)[:, None]
+    T = T0 * jnp.exp(-excl)
+    alpha = 1.0 - jnp.exp(-sd)
+    keep = T > T_threshold
+    w = jnp.where(keep, alpha * T, 0.0)
+
+    opacity = opacity + w.sum(axis=1)
+    depth = depth + (w * ts).sum(axis=1)
+    rgb = rgb + (w[:, :, None] * rgbs).sum(axis=1)
+
+    T_final = T0[:, 0] * jnp.exp(-sd.sum(axis=1))
+    alive = alive & (T_final > T_threshold)
+    return opacity, depth, rgb, alive

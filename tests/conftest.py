@@ -1,0 +1,19 @@
+"""Test harness: run everything on CPU with 8 virtual devices so sharding
+logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this image's sitecustomize registers a remote-TPU ("axon") PJRT backend
+and force-sets jax_platforms at interpreter start, so the JAX_PLATFORMS env
+var alone is not enough — we must re-update the config before any backend is
+initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,167 @@
+"""Ray marcher: chain math, occupancy culling, pool compaction."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_pl_tpu.ops.ray_march import (
+    _chain_t,
+    calc_dt,
+    march_rays_train,
+    mip_from_dt,
+    mip_from_pos,
+    occupancy_at,
+)
+
+SQRT3 = math.sqrt(3.0)
+
+
+def seq_chain(t0, K, f, dt_min, dt_max):
+    """Sequential reference of the dt-chain (raymarching.cu stepping)."""
+    ts = []
+    t = t0
+    for _ in range(K):
+        ts.append(t)
+        t = t + float(np.clip(t * f, dt_min, dt_max))
+    return np.asarray(ts)
+
+
+def test_chain_closed_form_matches_sequential():
+    max_samples, grid_size, scale = 1024, 128, 4.0
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2 * scale / grid_size
+    for f in [1.0 / 256.0]:
+        for t0 in [0.02, 0.3, 1.7, 30.0]:
+            K = 512
+            ref = seq_chain(t0, K, f, dt_min, dt_max)
+            ours = np.asarray(
+                _chain_t(jnp.full((1, 1), t0), jnp.arange(K, dtype=jnp.float32)[None],
+                         f, dt_min, dt_max))[0]
+            np.testing.assert_allclose(ours, ref, rtol=2e-3)
+
+
+def test_chain_linear():
+    dt_min = SQRT3 / 1024
+    ours = np.asarray(
+        _chain_t(jnp.full((1, 1), 0.5), jnp.arange(8, dtype=jnp.float32)[None],
+                 0.0, dt_min, 1.0))[0]
+    np.testing.assert_allclose(ours, 0.5 + np.arange(8) * dt_min, rtol=1e-6)
+
+
+def test_mip_selection():
+    xyz = jnp.asarray([[0.3, 0.1, 0.0], [0.7, 0.0, 0.0], [1.5, 0.0, 0.0]])
+    np.testing.assert_array_equal(np.asarray(mip_from_pos(xyz, 8)), [0, 1, 2])
+    dt = jnp.asarray([0.5 / 128, 1.5 / 128, 2.5 / 128])
+    np.testing.assert_array_equal(np.asarray(mip_from_dt(dt, 128, 8)), [0, 1, 2])
+
+
+def test_occupancy_lookup():
+    G, C, scale = 16, 1, 0.5
+    occ = np.zeros((C, G, G, G), np.uint8)
+    occ[0, 8, 8, 8] = 1  # cell covering xyz just past center
+    occ_grid = jnp.asarray(occ)
+    # cell (8,8,8) covers normalized [8/16, 9/16) -> x in [0, 1/16*2*scale)
+    xyz = jnp.asarray([[0.01, 0.01, 0.01], [-0.2, 0.0, 0.0]])
+    dt = jnp.full((2,), SQRT3 / 1024)
+    got = np.asarray(occupancy_at(occ_grid, xyz, dt, C, scale, G))
+    assert got[0] and not got[1]
+
+
+def march(occ, rays_o, rays_d, hits_t, noise=None, **kw):
+    N = rays_o.shape[0]
+    args = dict(cascades=1, scale=0.5, exp_step_factor=0.0, grid_size=occ.shape[1],
+                max_samples=1024, pool_size=N * 1024)
+    args.update(kw)
+    if noise is None:
+        noise = jnp.zeros((N,))
+    return march_rays_train(rays_o, rays_d, hits_t, occ, noise, **args)
+
+
+def test_march_full_grid():
+    """Fully occupied grid: samples = uniform dt_min steps across the box."""
+    G = 16
+    occ = jnp.ones((1, G, G, G), jnp.uint8)
+    rays_o = jnp.asarray([[0.0, 0.0, -2.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+    hits_t = jnp.asarray([[1.5, 2.5]])
+    m = march(occ, rays_o, rays_d, hits_t)
+    n = int(m.counts[0])
+    dt_min = SQRT3 / 1024
+    assert abs(n - int(1.0 / dt_min)) <= 1
+    ts = np.asarray(m.ts[:n])
+    np.testing.assert_allclose(np.diff(ts), dt_min, rtol=1e-4)
+    assert ts[0] >= 1.5 and ts[-1] < 2.5
+    assert np.all(np.asarray(m.ray_idx[:n]) == 0)
+
+
+def test_march_empty_grid():
+    G = 16
+    occ = jnp.zeros((1, G, G, G), jnp.uint8)
+    m = march(occ, jnp.asarray([[0.0, 0.0, -2.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+              jnp.asarray([[1.5, 2.5]]))
+    assert int(m.total) == 0
+    assert int(m.counts[0]) == 0
+
+
+def test_march_miss_ray():
+    G = 16
+    occ = jnp.ones((1, G, G, G), jnp.uint8)
+    m = march(occ, jnp.asarray([[5.0, 5.0, 5.0]]), jnp.asarray([[1.0, 0.0, 0.0]]),
+              jnp.asarray([[-1.0, -1.0]]))
+    assert int(m.total) == 0
+
+
+def test_march_half_occupied():
+    """Only z>0 half occupied: samples should all lie in z>0."""
+    G = 16
+    occ = np.zeros((1, G, G, G), np.uint8)
+    occ[0, :, :, G // 2:] = 1
+    m = march(jnp.asarray(occ), jnp.asarray([[0.0, 0.0, -2.0]]),
+              jnp.asarray([[0.0, 0.0, 1.0]]), jnp.asarray([[1.5, 2.5]]))
+    n = int(m.counts[0])
+    assert n > 0
+    ts = np.asarray(m.ts[:n])
+    z = -2.0 + ts
+    assert np.all(z >= -1e-6)
+
+
+def test_march_compaction_multi_ray():
+    """Pool is CSR-ordered: ray 0's samples then ray 1's."""
+    G = 16
+    occ = jnp.ones((1, G, G, G), jnp.uint8)
+    rays_o = jnp.asarray([[0.0, 0.0, -2.0], [0.0, 0.0, 2.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    hits_t = jnp.asarray([[1.5, 2.5], [1.5, 2.5]])
+    m = march(occ, rays_o, rays_d, hits_t)
+    c0, c1 = int(m.counts[0]), int(m.counts[1])
+    assert int(m.offsets[1]) == c0
+    assert int(m.total) == c0 + c1
+    rid = np.asarray(m.ray_idx)
+    assert np.all(rid[:c0] == 0)
+    assert np.all(rid[c0:c0 + c1] == 1)
+    assert np.all(rid[c0 + c1:] == 2)  # sentinel = N_rays
+
+
+def test_march_pool_overflow_clips():
+    G = 16
+    occ = jnp.ones((1, G, G, G), jnp.uint8)
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (4, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+    hits_t = jnp.tile(jnp.asarray([[1.5, 2.5]]), (4, 1))
+    m = march(occ, rays_o, rays_d, hits_t, pool_size=100)
+    assert int(m.total) == 100
+    assert int(m.counts.sum()) == 100  # in-pool counts clipped
+    assert np.all(np.asarray(m.valid) == (np.arange(100 if False else m.ts.shape[0]) < 100))
+
+
+def test_march_start_noise():
+    G = 16
+    occ = jnp.ones((1, G, G, G), jnp.uint8)
+    args = (occ, jnp.asarray([[0.0, 0.0, -2.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+            jnp.asarray([[1.5, 2.5]]))
+    m0 = march(*args)
+    m1 = march(*args, noise=jnp.asarray([0.5]))
+    dt_min = SQRT3 / 1024
+    np.testing.assert_allclose(float(m1.ts[0]) - float(m0.ts[0]), 0.5 * dt_min,
+                               rtol=1e-3)
