@@ -1,0 +1,62 @@
+"""NeRF++ layout loader (reference datasets/nerfpp.py):
+{train,val,test}/{rgb,pose,intrinsics} + optional camera_path test trajectory."""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ngp_pl_tpu.datasets.base import BaseDataset
+from ngp_pl_tpu.datasets.color_utils import read_image
+from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+
+
+class NeRFPPDataset(BaseDataset):
+    def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
+        super().__init__(root_dir, split, downsample)
+        self.read_intrinsics()
+        if kwargs.get("read_meta", True):
+            self.read_meta(split)
+
+    def read_intrinsics(self):
+        from PIL import Image
+
+        K = np.loadtxt(
+            sorted(glob.glob(os.path.join(self.root_dir,
+                                          "train/intrinsics/*.txt")))[0],
+            dtype=np.float32).reshape(4, 4)[:3, :3]
+        K[:2] *= self.downsample
+        w, h = Image.open(
+            sorted(glob.glob(os.path.join(self.root_dir, "train/rgb/*")))[0]).size
+        w, h = int(w * self.downsample), int(h * self.downsample)
+        self.K = K
+        self.directions = get_ray_directions(h, w, self.K)
+        self.img_wh = (w, h)
+
+    def read_meta(self, split):
+        rays, poses = [], []
+        if split == "test_traj":
+            pose_files = sorted(
+                glob.glob(os.path.join(self.root_dir, "camera_path/pose/*.txt")))
+            poses = [np.loadtxt(p, dtype=np.float32).reshape(4, 4)[:3]
+                     for p in pose_files]
+        else:
+            if split == "trainval":
+                img_paths, pose_files = [], []
+                for s in ("train", "val"):
+                    img_paths += sorted(
+                        glob.glob(os.path.join(self.root_dir, s, "rgb/*")))
+                    pose_files += sorted(
+                        glob.glob(os.path.join(self.root_dir, s, "pose/*.txt")))
+            else:
+                img_paths = sorted(
+                    glob.glob(os.path.join(self.root_dir, split, "rgb/*")))
+                pose_files = sorted(
+                    glob.glob(os.path.join(self.root_dir, split, "pose/*.txt")))
+            for img_path, pose in zip(img_paths, pose_files):
+                poses.append(np.loadtxt(pose, dtype=np.float32).reshape(4, 4)[:3])
+                rays.append(read_image(img_path, self.img_wh))
+            if rays:
+                self.rays = np.stack(rays).astype(np.float32)
+        self.poses = np.stack(poses).astype(np.float32)

@@ -1,0 +1,99 @@
+"""NSVF-format loader: Synthetic_NeRF/NSVF, BlendedMVS, TanksAndTemples
+(reference datasets/nsvf.py)."""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ngp_pl_tpu.datasets.base import BaseDataset
+from ngp_pl_tpu.datasets.color_utils import read_image
+from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+
+
+class NSVFDataset(BaseDataset):
+    def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
+        super().__init__(root_dir, split, downsample)
+        self.read_intrinsics()
+        if kwargs.get("read_meta", True):
+            xyz = np.loadtxt(os.path.join(root_dir, "bbox.txt"))[:6].reshape(2, 3)
+            self.shift = (xyz[1] + xyz[0]) / 2
+            self.scale = (xyz[1] - xyz[0]).max() / 2 * 1.05  # enlarge a little
+            # per-scene bound fixes (reference nsvf.py:26-27)
+            if "Mic" in self.root_dir:
+                self.scale *= 1.2
+            elif "Lego" in self.root_dir:
+                self.scale *= 1.1
+            self.read_meta(split)
+
+    def read_intrinsics(self):
+        if "Synthetic" in self.root_dir or "Ignatius" in self.root_dir:
+            with open(os.path.join(self.root_dir, "intrinsics.txt")) as f:
+                fx = fy = float(f.readline().split()[0]) * self.downsample
+            if "Synthetic" in self.root_dir:
+                w = h = int(800 * self.downsample)
+            else:
+                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
+            K = np.float32([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
+        else:
+            K = np.loadtxt(os.path.join(self.root_dir, "intrinsics.txt"),
+                           dtype=np.float32)[:3, :3]
+            if "BlendedMVS" in self.root_dir:
+                w, h = int(768 * self.downsample), int(576 * self.downsample)
+            elif "Tanks" in self.root_dir:
+                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
+            else:
+                raise ValueError(f"unknown NSVF sub-dataset: {self.root_dir}")
+            K[:2] *= self.downsample
+        self.K = K.astype(np.float32)
+        self.directions = get_ray_directions(h, w, self.K)
+        self.img_wh = (w, h)
+
+    def _normalize_pose(self, c2w):
+        c2w = c2w.copy()
+        c2w[:, 3] -= self.shift
+        c2w[:, 3] /= 2 * self.scale  # bound the scene inside [-0.5, 0.5]
+        return c2w
+
+    def read_meta(self, split):
+        rays, poses = [], []
+        if split == "test_traj":  # BlendedMVS / TanksAndTemples
+            if "Ignatius" in self.root_dir:
+                pose_files = sorted(
+                    glob.glob(os.path.join(self.root_dir, "test_pose/*.txt")))
+                raw = [np.loadtxt(p) for p in pose_files]
+            else:
+                raw = np.loadtxt(
+                    os.path.join(self.root_dir, "test_traj.txt")).reshape(-1, 4, 4)
+            for p in raw:
+                c2w = np.array(p, np.float32)[:3]
+                c2w[:, 0] *= -1  # [left down front] -> [right down front]
+                poses.append(self._normalize_pose(c2w))
+        else:
+            prefix = {
+                "train": "0_", "trainval": "[0-1]_", "trainvaltest": "[0-2]_",
+                "val": "1_",
+            }.get(split)
+            if prefix is None:
+                if "Synthetic" in self.root_dir:
+                    prefix = "2_"      # synthetic test split
+                elif split == "test":
+                    prefix = "1_"      # real-scene test split
+                else:
+                    raise ValueError(f"{split} split not recognized!")
+            img_paths = sorted(
+                glob.glob(os.path.join(self.root_dir, "rgb", prefix + "*.png")))
+            pose_files = sorted(
+                glob.glob(os.path.join(self.root_dir, "pose", prefix + "*.txt")))
+            for img_path, pose in zip(img_paths, pose_files):
+                c2w = np.loadtxt(pose, dtype=np.float32)[:3]
+                poses.append(self._normalize_pose(c2w))
+                img = read_image(img_path, self.img_wh)
+                if "Jade" in self.root_dir or "Fountain" in self.root_dir:
+                    # black background -> white (reference nsvf.py:93-95)
+                    img[np.all(img <= 0.1, axis=-1)] = 1.0
+                rays.append(img)
+            if rays:
+                self.rays = np.stack(rays).astype(np.float32)
+        self.poses = np.stack(poses).astype(np.float32)

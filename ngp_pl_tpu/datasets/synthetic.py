@@ -1,0 +1,110 @@
+"""Procedural synthetic scene — an analytic volume with ground-truth renders.
+
+No counterpart in the reference (which always loads data from disk); this
+dataset exists so the framework can be trained, evaluated, and benchmarked
+end-to-end in a hermetic environment: an analytic density/color field (soft
+colored spheres in the scene box) is volume-rendered exactly to produce
+training/test images in the NeRF-synthetic camera convention (cameras on a
+radius-1.5 sphere looking at the origin, white background).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ngp_pl_tpu.datasets.base import BaseDataset
+from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+
+# (center, radius, rgb) of the analytic spheres, all inside [-0.4, 0.4]^3
+_SPHERES = [
+    (np.array([0.0, 0.0, 0.0]), 0.22, np.array([0.9, 0.25, 0.2])),
+    (np.array([0.25, 0.15, -0.1]), 0.12, np.array([0.2, 0.8, 0.3])),
+    (np.array([-0.22, -0.18, 0.15]), 0.1, np.array([0.25, 0.35, 0.95])),
+    (np.array([0.05, -0.28, -0.2]), 0.09, np.array([0.95, 0.85, 0.2])),
+]
+_DENSITY = 120.0
+_EDGE = 0.02  # soft shell width
+
+
+def field(xyz: np.ndarray):
+    """Analytic (sigma, rgb) at positions (N, 3)."""
+    sigma = np.zeros(xyz.shape[0], np.float32)
+    rgb = np.ones((xyz.shape[0], 3), np.float32)
+    weight = np.zeros(xyz.shape[0], np.float32)
+    for center, radius, color in _SPHERES:
+        d = np.linalg.norm(xyz - center[None], axis=-1)
+        inside = np.clip((radius - d) / _EDGE, 0.0, 1.0)
+        sigma = np.maximum(sigma, _DENSITY * inside)
+        new = inside > weight
+        rgb[new] = color
+        weight = np.maximum(weight, inside)
+    return sigma, rgb
+
+
+def _lookat_pose(cam_pos: np.ndarray) -> np.ndarray:
+    """c2w with camera axes [right down front] looking at the origin."""
+    forward = -cam_pos / np.linalg.norm(cam_pos)          # front = towards origin
+    up_world = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up_world)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(forward, right)
+    return np.stack([right, down, forward, cam_pos], axis=1).astype(np.float32)
+
+
+def render_gt(rays_o, rays_d, n_steps=384, t_near=0.6, t_far=2.6):
+    """Exact dense volume render of the analytic field (white background)."""
+    ts = np.linspace(t_near, t_far, n_steps, dtype=np.float32)
+    dt = ts[1] - ts[0]
+    N = rays_o.shape[0]
+    rgb_acc = np.zeros((N, 3), np.float32)
+    depth_acc = np.zeros(N, np.float32)
+    T = np.ones(N, np.float32)
+    d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    for t in ts:
+        xyz = rays_o + t * d
+        sigma, rgb = field(xyz)
+        alpha = 1.0 - np.exp(-sigma * dt)
+        w = alpha * T
+        rgb_acc += w[:, None] * rgb
+        depth_acc += w * t
+        T *= 1.0 - alpha
+    opacity = 1.0 - T
+    rgb_acc += T[:, None]  # white background
+    return rgb_acc, depth_acc, opacity
+
+
+class SyntheticDataset(BaseDataset):
+    """Hermetic procedural dataset in the BaseDataset contract."""
+
+    def __init__(self, root_dir="", split="train", downsample=1.0,
+                 img_size=128, n_train=24, n_test=4, seed=0, **kwargs):
+        super().__init__(root_dir, split, downsample)
+        w = h = int(img_size * downsample)
+        f = 1.2 * w
+        self.K = np.float32([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
+        self.img_wh = (w, h)
+        self.directions = get_ray_directions(h, w, self.K)
+
+        rng = np.random.default_rng(seed if split.startswith("train") else seed + 1)
+        n = n_train if split.startswith("train") else n_test
+        poses = []
+        for i in range(n):
+            theta = 2 * np.pi * i / n + rng.uniform(0, 0.1)
+            phi = np.deg2rad(rng.uniform(-55, -15))
+            cam = 1.5 * np.array([
+                np.cos(theta) * np.cos(phi),
+                np.sin(theta) * np.cos(phi),
+                -np.sin(phi),
+            ])
+            poses.append(_lookat_pose(cam))
+        self.poses = np.stack(poses)
+
+        if kwargs.get("read_meta", True):
+            rays = []
+            for pose in self.poses:
+                rd = self.directions @ pose[:, :3].T
+                ro = np.broadcast_to(pose[:, 3], rd.shape)
+                rgb, _, _ = render_gt(ro, rd)
+                rays.append(rgb)
+            self.rays = np.stack(rays).astype(np.float32)

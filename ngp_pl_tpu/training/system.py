@@ -1,0 +1,230 @@
+"""NeRFSystem: the training orchestrator.
+
+Replaces the Lightning module + Trainer wiring (reference train.py:53-294)
+with an explicit host loop around jitted steps: batch sampling (host, cheap
+index gathers), density-grid cadence (every 16 steps, warmup < 256,
+reference train.py:159-163), validation with PSNR/SSIM/LPIPS + image dumps,
+full/slim checkpointing, and TensorBoard logging.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_pl_tpu.config import MAX_SAMPLES, NGPConfig, RenderConfig, TrainConfig
+from ngp_pl_tpu.datasets import dataset_dict
+from ngp_pl_tpu.models.ngp import NGP
+from ngp_pl_tpu.models.occupancy import (
+    init_grid_state,
+    make_update_density_grid,
+    mark_invisible_cells,
+)
+from ngp_pl_tpu.models.rendering import make_test_renderer
+from ngp_pl_tpu.training import checkpoint as ckpt
+from ngp_pl_tpu.training.metrics import LPIPSHook, psnr as psnr_fn, ssim as ssim_fn
+from ngp_pl_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+def depth2img(depth: np.ndarray) -> np.ndarray:
+    """Turbo-colormapped depth visualization (reference train.py:45-50)."""
+    import matplotlib.cm as cm
+
+    d = (depth - depth.min()) / (depth.max() - depth.min() + 1e-8)
+    rgba = cm.get_cmap("turbo")(d)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+class NeRFSystem:
+    def __init__(self, tcfg: TrainConfig, train_dataset=None, test_dataset=None):
+        self.tcfg = tcfg
+        self.cfg: NGPConfig = tcfg.ngp_config()
+        self.rcfg: RenderConfig = tcfg.render_config()
+
+        dataset_cls = dataset_dict[tcfg.dataset_name]
+        kwargs = {"root_dir": tcfg.root_dir, "downsample": tcfg.downsample}
+        self.train_dataset = train_dataset or dataset_cls(
+            split=tcfg.split, **kwargs)
+        self.train_dataset.batch_size = tcfg.batch_size
+        self.train_dataset.ray_sampling_strategy = tcfg.ray_sampling_strategy
+        self.test_dataset = test_dataset or dataset_cls(split="test", **kwargs)
+
+        self.ngp = NGP(self.cfg)
+        self.grid_state = init_grid_state(self.cfg)
+        self.update_density_grid = make_update_density_grid(self.ngp, self.cfg)
+        unit_exp = getattr(self.train_dataset, "unit_exposure_rgb", 0.5)
+        self.train_step = make_train_step(self.ngp, tcfg, self.rcfg,
+                                          unit_exposure_rgb=unit_exp)
+        self.render_image = make_test_renderer(self.ngp, self.rcfg)
+        self.lpips = LPIPSHook()
+
+        self.key = jax.random.PRNGKey(tcfg.seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = init_train_state(self.ngp, tcfg, k_init,
+                                      len(self.train_dataset.poses))
+        if tcfg.weight_path:
+            params, grid = ckpt.load_slim_checkpoint(
+                tcfg.weight_path, params=self.state.params)
+            self.state = self.state._replace(params=params)
+            self.grid_state = self.grid_state._replace(occ_grid=jnp.asarray(grid))
+
+        self.poses = jnp.asarray(self.train_dataset.poses)
+        self.directions = jnp.asarray(self.train_dataset.directions)
+        # threshold 0.01 * MAX_SAMPLES / sqrt(3) (reference train.py:160)
+        self.density_threshold = jnp.asarray(
+            0.01 * MAX_SAMPLES / math.sqrt(3.0), jnp.float32)
+        self.erode = tcfg.dataset_name == "colmap"
+        self._rng = np.random.default_rng(tcfg.seed)
+        self._writer = None
+        self.history: list = []
+
+    # -- setup hooks ----------------------------------------------------
+    def on_train_start(self):
+        """Mark camera-invisible cells once (reference train.py:154-157)."""
+        self.grid_state = mark_invisible_cells(
+            self.grid_state,
+            jnp.asarray(self.train_dataset.K),
+            self.poses,
+            cfg=self.cfg,
+            img_w=self.train_dataset.img_wh[0],
+            img_h=self.train_dataset.img_wh[1],
+        )
+
+    def _writer_get(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            logdir = f"logs/{self.tcfg.dataset_name}/{self.tcfg.exp_name}"
+            os.makedirs(logdir, exist_ok=True)
+            self._writer = SummaryWriter(logdir)
+        return self._writer
+
+    # -- training -------------------------------------------------------
+    def sample_batch(self) -> Dict[str, jnp.ndarray]:
+        batch = self.train_dataset.sample_batch(self._rng)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(self, batch=None) -> Dict[str, float]:
+        step_i = int(self.state.step)
+        if step_i % self.tcfg.grid_update_interval == 0:
+            self.key, k = jax.random.split(self.key)
+            self.grid_state = self.update_density_grid(
+                self.state.params, self.grid_state, k,
+                self.density_threshold,
+                warmup=step_i < self.tcfg.grid_warmup_steps,
+                erode=self.erode,
+            )
+        if batch is None:
+            batch = self.sample_batch()
+        self.state, metrics = self.train_step(
+            self.state, self.grid_state.occ_grid, self.poses, self.directions,
+            batch, self.key)
+        return metrics
+
+    def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,
+            quiet: bool = False):
+        max_steps = max_steps or self.tcfg.max_steps
+        log_every = log_every or self.tcfg.log_every
+        self.on_train_start()
+        t0 = time.time()
+        for i in range(max_steps):
+            metrics = self.step()
+            if (i + 1) % log_every == 0 or i == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = int(self.state.step)
+                m["rays_per_s"] = (
+                    self.tcfg.batch_size * (i + 1) / (time.time() - t0))
+                self.history.append(m)
+                if not quiet:
+                    print(
+                        f"step {m['step']:6d} loss {m['loss']:.4f} "
+                        f"psnr {m['psnr']:.2f} rm_s "
+                        f"{m['rm_samples'] / self.tcfg.batch_size:.1f} "
+                        f"{m['rays_per_s']:.0f} rays/s", flush=True)
+                w = self._writer_get()
+                w.add_scalar("train/loss", m["loss"], m["step"])
+                w.add_scalar("train/psnr", m["psnr"], m["step"])
+                w.add_scalar(
+                    "train/rm_s",
+                    m["rm_samples"] / self.tcfg.batch_size, m["step"])
+                w.add_scalar(
+                    "train/vr_s",
+                    m["vr_samples"] / self.tcfg.batch_size, m["step"])
+        return self.history
+
+    # -- validation -----------------------------------------------------
+    def validate(self, save_images: Optional[bool] = None, max_images=None
+                 ) -> Dict[str, float]:
+        """Full test-split scoring (reference train.py:187-237)."""
+        if save_images is None:
+            save_images = not self.tcfg.no_save_test
+        val_dir = f"results/{self.tcfg.dataset_name}/{self.tcfg.exp_name}"
+        if save_images:
+            os.makedirs(val_dir, exist_ok=True)
+        w, h = self.test_dataset.img_wh
+        psnrs, ssims, lpipss = [], [], []
+        n = len(self.test_dataset.poses)
+        if max_images:
+            n = min(n, max_images)
+        for idx in range(n):
+            item = self.test_dataset.test_item(idx)
+            pose = item["pose"]
+            dirs = self.test_dataset.directions
+            rays_d = dirs @ pose[:, :3].T
+            rays_o = np.broadcast_to(pose[:, 3], rays_d.shape)
+            out = self.render_image(self.state.params,
+                                    self.grid_state.occ_grid,
+                                    rays_o, rays_d)
+            pred = out["rgb"].reshape(h, w, 3)
+            if "rgb" in item:
+                gt = np.asarray(item["rgb"]).reshape(h, w, 3)
+                psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
+                ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
+                if self.tcfg.eval_lpips and self.lpips.available:
+                    lpipss.append(self.lpips(pred, gt))
+            if save_images:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    os.path.join(val_dir, f"{idx:03d}.png"),
+                    (np.clip(pred, 0, 1) * 255).astype(np.uint8))
+                imageio.imwrite(
+                    os.path.join(val_dir, f"{idx:03d}_d.png"),
+                    depth2img(out["depth"].reshape(h, w)))
+        out = {}
+        if psnrs:
+            out["psnr"] = float(np.mean(psnrs))
+            out["ssim"] = float(np.mean(ssims))
+            if lpipss:
+                out["lpips"] = float(np.mean(lpipss))
+        return out
+
+    # -- checkpointing --------------------------------------------------
+    def save(self, path: str):
+        ckpt.save_checkpoint(
+            path, params=self.state.params, grid_state=self.grid_state,
+            opt_state=self.state.opt_state,
+            pose_params=self.state.pose_params or None,
+            step=int(self.state.step))
+
+    def save_slim(self, path: str):
+        ckpt.save_slim_checkpoint(path, params=self.state.params,
+                                  grid_state=self.grid_state)
+
+    def load(self, path: str):
+        params, grid_state, opt_state, step = ckpt.load_checkpoint(
+            path, params=self.state.params, grid_state=self.grid_state,
+            opt_state=self.state.opt_state)
+        self.state = self.state._replace(
+            params=params, opt_state=opt_state,
+            step=jnp.asarray(step, jnp.int32))
+        self.grid_state = grid_state

@@ -1,0 +1,180 @@
+"""The jitted training step — the replacement for Lightning's loop body
+(reference train.py:159-185 + the autograd machinery underneath).
+
+One fused XLA program per step: ray generation from (pose, pixel) indices ->
+AABB intersect -> occupancy march -> field -> composite -> losses -> grads ->
+Adam update.  Optional camera-pose refinement (reference train.py:86-89,
+117-122) optimizes per-image (dR, dT) with a separate hard-coded 1e-6 lr via
+optax.multi_transform.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ngp_pl_tpu.config import RenderConfig, TrainConfig
+from ngp_pl_tpu.datasets.ray_utils import axisangle_to_R, get_rays
+from ngp_pl_tpu.models.ngp import NGP, _mlp_apply
+from ngp_pl_tpu.models.rendering import render_rays_train
+from ngp_pl_tpu.ops.trunc_exp import trunc_exp
+from ngp_pl_tpu.training.losses import nerf_loss, total_loss
+
+
+class TrainState(NamedTuple):
+    params: Any                  # NGP param pytree
+    pose_params: Any             # {'dR','dT'} (N_img, 3) or None-like empty dict
+    opt_state: Any
+    step: jnp.ndarray            # () int32
+
+
+def cosine_epoch_schedule(lr: float, num_epochs: int, iters_per_epoch: int,
+                          final_div: float):
+    """Per-epoch staircase cosine lr -> lr/final_div
+    (reference train.py:135-137: CosineAnnealingLR stepped per epoch)."""
+    eta_min = lr / final_div
+
+    def schedule(step):
+        epoch = jnp.minimum(step // iters_per_epoch, num_epochs)
+        cos = jnp.cos(jnp.pi * epoch.astype(jnp.float32) / num_epochs)
+        return eta_min + 0.5 * (lr - eta_min) * (1.0 + cos)
+
+    return schedule
+
+
+def make_optimizer(tcfg: TrainConfig):
+    net_opt = optax.adam(
+        learning_rate=cosine_epoch_schedule(
+            tcfg.lr, tcfg.num_epochs, tcfg.iters_per_epoch, tcfg.lr_final_div),
+        eps=tcfg.adam_eps,
+    )
+    if tcfg.optimize_ext:
+        pose_opt = optax.adam(tcfg.pose_lr)
+        return optax.multi_transform(
+            {"net": net_opt, "pose": pose_opt},
+            {"net": "net", "pose": "pose"},
+        )
+    return net_opt
+
+
+def init_train_state(ngp: NGP, tcfg: TrainConfig, key, n_images: int
+                     ) -> TrainState:
+    params = ngp.init(key)
+    if tcfg.optimize_ext:
+        pose_params = {
+            "dR": jnp.zeros((n_images, 3), jnp.float32),
+            "dT": jnp.zeros((n_images, 3), jnp.float32),
+        }
+        trainable = {"net": params, "pose": pose_params}
+    else:
+        pose_params = {}
+        trainable = params
+    opt_state = make_optimizer(tcfg).init(trainable)
+    return TrainState(params=params, pose_params=pose_params,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def apply_pose_refinement(poses, pose_params, img_idxs):
+    """poses: (B, 3, 4) base c2w; adds learned dR/dT (train.py:86-89)."""
+    dR = axisangle_to_R(pose_params["dR"][img_idxs])          # (B, 3, 3)
+    R = dR @ poses[:, :, :3]
+    t = poses[:, :, 3] + pose_params["dT"][img_idxs]
+    return jnp.concatenate([R, t[:, :, None]], axis=-1)
+
+
+def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
+                    unit_exposure_rgb: float = 0.5):
+    """Returns train_step(state, occ_grid, poses, directions, batch, key)."""
+    optimizer = make_optimizer(tcfg)
+    use_pose = tcfg.optimize_ext
+    use_exposure = tcfg.use_exposure
+
+    def loss_fn(trainable, occ_grid, poses_all, directions, batch, key):
+        if use_pose:
+            params, pose_params = trainable["net"], trainable["pose"]
+        else:
+            params, pose_params = trainable, None
+
+        poses = poses_all[batch["img_idxs"]]                 # (B, 3, 4)
+        if use_pose:
+            poses = apply_pose_refinement(poses, pose_params,
+                                          batch["img_idxs"])
+        dirs = directions[batch["pix_idxs"]]
+        rays_o, rays_d = get_rays(dirs, poses)
+
+        k_noise, k_bg = jax.random.split(key)
+        noise = jax.random.uniform(k_noise, (rays_o.shape[0],))
+        if ngp.cfg.exp_step_factor == 0:                      # synthetic: white
+            bg = jnp.ones((3,), jnp.float32)
+        elif tcfg.random_bg:
+            bg = jax.random.uniform(k_bg, (3,), jnp.float32)
+        else:
+            bg = jnp.zeros((3,), jnp.float32)
+
+        exposure = batch.get("exposure") if use_exposure else None
+        results = render_rays_train(
+            ngp, params, occ_grid, rays_o, rays_d, noise, bg,
+            rcfg=rcfg, exposure=exposure)
+
+        loss_d = nerf_loss(
+            results, batch["rgb"],
+            lambda_opacity=tcfg.opacity_loss_w,
+            lambda_distortion=tcfg.distortion_loss_w,
+        )
+        if use_exposure:
+            # anchor the tonemappers at unit exposure (train.py:166-172)
+            zero_rad = jnp.zeros((1, 1), jnp.float32)
+            chans = [
+                _mlp_apply(params["tonemapper"][i], zero_rad, ngp.dtype,
+                           out_act=jax.nn.sigmoid)
+                for i in range(3)
+            ]
+            unit_rgb = jnp.concatenate(chans, axis=-1)
+            loss_d["unit_exposure"] = 0.5 * (unit_rgb - unit_exposure_rgb) ** 2
+
+        loss = total_loss(loss_d)
+        aux = {
+            "loss": loss,
+            "rgb": results["rgb"],
+            "rm_samples": results["rm_samples"],
+            "vr_samples": results["vr_samples"],
+            "rm_counts_max": results["rm_counts"].max(),
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
+                   key) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if use_pose:
+            trainable = {"net": state.params, "pose": state.pose_params}
+        else:
+            trainable = state.params
+        key = jax.random.fold_in(key, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, occ_grid, poses_all, directions, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        if use_pose:
+            params, pose_params = trainable["net"], trainable["pose"]
+        else:
+            params, pose_params = trainable, state.pose_params
+        psnr = -10.0 * jnp.log10(
+            jnp.mean((aux["rgb"] - batch["rgb"]) ** 2))
+        metrics = {
+            "loss": loss,
+            "psnr": psnr,
+            "rm_samples": aux["rm_samples"],
+            "vr_samples": aux["vr_samples"],
+            "rm_counts_max": aux["rm_counts_max"],
+        }
+        return (
+            TrainState(params=params, pose_params=pose_params,
+                       opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step

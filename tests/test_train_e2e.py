@@ -1,0 +1,67 @@
+"""End-to-end: train a tiny NGP on the procedural synthetic scene and verify
+the whole numerics chain (march -> field -> composite -> loss -> adam) learns.
+This is the CPU-runnable analogue of the reference's quality-gate validation
+(SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from ngp_pl_tpu.config import TrainConfig
+from ngp_pl_tpu.datasets.synthetic import SyntheticDataset
+from ngp_pl_tpu.training.system import NeRFSystem
+
+
+def make_system(**cfg_kw):
+    tcfg = TrainConfig(
+        dataset_name="synthetic", batch_size=1024, num_epochs=2,
+        iters_per_epoch=100, grid_warmup_steps=50, log_every=50, **cfg_kw)
+    train_ds = SyntheticDataset(split="train", img_size=64, n_train=10)
+    test_ds = SyntheticDataset(split="test", img_size=64, n_test=2)
+    return NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
+
+
+@pytest.fixture(scope="module")
+def trained_system():
+    sys = make_system()
+    sys.on_train_start()
+    losses = []
+    for i in range(120):
+        m = sys.step()
+        losses.append(float(m["loss"]))
+    sys._losses = losses
+    return sys
+
+
+def test_loss_decreases(trained_system):
+    losses = trained_system._losses
+    assert np.mean(losses[-20:]) < 0.5 * np.mean(losses[:5])
+
+
+def test_train_psnr_reasonable(trained_system):
+    m = trained_system.step()
+    assert float(m["psnr"]) > 14.0
+
+
+def test_validation_renders(trained_system):
+    scores = trained_system.validate(save_images=False, max_images=1)
+    assert "psnr" in scores and "ssim" in scores
+    assert scores["psnr"] > 12.0
+    assert 0.0 < scores["ssim"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, trained_system):
+    sys = trained_system
+    p = str(tmp_path / "ckpt.npz")
+    sys.save(p)
+    sys2 = make_system()
+    sys2.load(p)
+    np.testing.assert_allclose(
+        np.asarray(sys2.state.params["hash_table"]),
+        np.asarray(sys.state.params["hash_table"]))
+    assert int(sys2.state.step) == int(sys.state.step)
+    # slim checkpoint
+    ps = str(tmp_path / "slim.npz")
+    sys.save_slim(ps)
+    from ngp_pl_tpu.training.checkpoint import load_slim_checkpoint
+
+    params, occ = load_slim_checkpoint(ps, params=sys2.state.params)
+    np.testing.assert_array_equal(occ, np.asarray(sys.grid_state.occ_grid))
