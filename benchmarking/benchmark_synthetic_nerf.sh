@@ -1,0 +1,12 @@
+#!/bin/bash
+# Synthetic-NeRF benchmark recipe (reference benchmarking/benchmark_synthetic_nerf.sh):
+# 20 epochs, batch 16384, lr 2e-2, LPIPS eval.
+export ROOT_DIR=${ROOT_DIR:-/data/Synthetic_NeRF}
+
+for SCENE in Chair Drums Ficus Hotdog Lego Materials Mic Ship; do
+    python train.py \
+        --root_dir "$ROOT_DIR/$SCENE" \
+        --dataset_name nsvf \
+        --exp_name "$SCENE" \
+        --num_epochs 20 --batch_size 16384 --lr 2e-2 --eval_lpips
+done

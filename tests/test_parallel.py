@@ -1,0 +1,78 @@
+"""Data-parallel sharding: the sharded train step must match single-device
+numerics (same batch, same key) and actually distribute the rays."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ngp_pl_tpu.config import NGPConfig, RenderConfig, TrainConfig
+from ngp_pl_tpu.models.ngp import NGP
+from ngp_pl_tpu.parallel.mesh import data_mesh, replicated, shard_batch
+from ngp_pl_tpu.training.train_step import init_train_state, make_train_step
+
+
+def setup(batch_size):
+    cfg = NGPConfig(scale=0.5, n_levels=4, log2_hashmap_size=12, grid_size=16)
+    tcfg = TrainConfig(batch_size=batch_size)
+    rcfg = RenderConfig(max_samples=32, train_pool_mult=8)
+    ngp = NGP(cfg)
+    n_images = 2
+    state = init_train_state(ngp, tcfg, jax.random.PRNGKey(0), n_images)
+    occ = jnp.ones((cfg.cascades, 16, 16, 16), jnp.uint8)
+    poses = np.zeros((n_images, 3, 4), np.float32)
+    poses[:, :, :3] = np.eye(3)
+    poses[:, 2, 3] = -2.0
+    dirs = np.concatenate(
+        [np.random.default_rng(0).uniform(-0.2, 0.2, (32, 2)),
+         np.ones((32, 1))], axis=1).astype(np.float32)
+    rng = np.random.default_rng(1)
+    batch = {
+        "img_idxs": rng.integers(0, n_images, batch_size).astype(np.int32),
+        "pix_idxs": rng.integers(0, 32, batch_size).astype(np.int32),
+        "rgb": rng.random((batch_size, 3)).astype(np.float32),
+    }
+    step = make_train_step(ngp, tcfg, rcfg)
+    return state, occ, jnp.asarray(poses), jnp.asarray(dirs), batch, step
+
+
+def test_sharded_matches_single_device():
+    assert jax.device_count() >= 8
+    B = 64
+    state, occ, poses, dirs, batch, step = setup(B)
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    b1 = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, m1 = step(state, occ, poses, dirs, b1, key)
+
+    # sharded over 8 devices
+    mesh = data_mesh(jax.devices()[:8])
+    repl = replicated(mesh)
+    state_r = jax.device_put(state, repl)
+    occ_r = jax.device_put(occ, repl)
+    b8 = shard_batch(batch, mesh)
+    assert len(b8["rgb"].sharding.device_set) == 8
+    s8, m8 = step(state_r, occ_r, jax.device_put(poses, repl),
+                  jax.device_put(dirs, repl), b8, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["sigma_mlp"][0]),
+        np.asarray(s8.params["sigma_mlp"][0]), rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    rgb = np.asarray(out[0])
+    assert rgb.shape == (1024, 3)
+    assert np.isfinite(rgb).all()
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
