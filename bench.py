@@ -18,33 +18,35 @@ BASELINE_RAYS_PER_S = 1.0e6
 
 
 def main():
+    from ngp_pl_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
     import numpy as np
 
     from ngp_pl_tpu.config import TrainConfig
     from ngp_pl_tpu.datasets.synthetic import SyntheticDataset
     from ngp_pl_tpu.training.system import NeRFSystem
 
-    steps_warm = 40
-    steps_meas = 200
+    steps_meas = 100
 
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=8192,
-                       num_epochs=30, exp_name="bench")
-    train_ds = SyntheticDataset(split="train", img_size=128, n_train=16)
-    test_ds = SyntheticDataset(split="test", img_size=128, n_test=1)
+                       num_epochs=30, exp_name="bench", no_save_test=True)
+    train_ds = SyntheticDataset(split="train", img_size=96, n_train=8)
+    test_ds = SyntheticDataset(split="test", img_size=96, n_test=1)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     system.on_train_start()
 
     # pre-sample batches so host sampling is off the measured path
     batches = [system.sample_batch() for _ in range(16)]
 
-    import jax
-
-    # warmup (compiles both warmup & post-warmup grid-update variants)
-    for i in range(steps_warm):
+    # skip grid warmup shapes: jump straight to the steady-state cadence
+    # (warmup uses a separate jitted update variant; compile both once)
+    system.step(batches[0])                       # step 0: warmup update
+    system.state = system.state._replace(
+        step=system.state.step * 0 + tcfg.grid_warmup_steps + 16)
+    for i in range(3):                            # steady-state compiles
         system.step(batches[i % len(batches)])
-    # push past grid warmup to the steady-state shapes
-    while int(system.state.step) <= tcfg.grid_warmup_steps + 16:
-        system.step(batches[int(system.state.step) % len(batches)])
     jax.block_until_ready(system.state.params)
 
     t0 = time.time()

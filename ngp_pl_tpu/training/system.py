@@ -46,6 +46,9 @@ def depth2img(depth: np.ndarray) -> np.ndarray:
 
 class NeRFSystem:
     def __init__(self, tcfg: TrainConfig, train_dataset=None, test_dataset=None):
+        from ngp_pl_tpu.utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()
         self.tcfg = tcfg
         self.cfg: NGPConfig = tcfg.ngp_config()
         self.rcfg: RenderConfig = tcfg.render_config()

@@ -1,10 +1,12 @@
-"""Hash-grid encoder: interpolation correctness + gradient checks."""
+"""Brick-layout hash-grid encoder: layout, interpolation, gradient checks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ngp_pl_tpu.ops.hash_encoding import (
+    BRICK_PTS,
     hash_encode,
+    hash_encode_pointwise,
     init_hash_table,
     make_grid_spec,
 )
@@ -18,50 +20,67 @@ def small_spec():
 def test_spec_layout():
     spec = small_spec()
     assert spec.resolutions == (4, 8, 16, 32)
-    # dense while (R+1)^3 <= 1024: R=4 -> 125, R=8 -> 729, R=16 -> 4913 > 1024
-    assert spec.sizes == (125, 729, 1024, 1024)
-    assert spec.offsets == (0, 125, 854, 1878)
+    assert spec.brick_grids == (2, 4, 8, 16)
+    # S = 2^(10-5) = 32; dense while B^3 <= 2*S = 64: B=2 (8), B=4 (64) dense,
+    # B=8 (512) and B=16 hashed at 32 slots
+    assert spec.sizes == (8, 64, 32, 32)
+    assert spec.offsets == (0, 8, 72, 104)
     assert spec.out_dim == 8
+    assert spec.row_width == 64
 
 
 def test_constant_table_interpolates_to_constant():
-    """With every table entry equal, trilinear interp returns that constant."""
     spec = small_spec()
-    table = jnp.full((spec.total_entries, 2), 0.7, jnp.float32)
+    used = BRICK_PTS ** 3 * spec.n_features
+    lane = jnp.arange(spec.row_width)
+    table = jnp.where(lane[None, :] < used, 0.7,
+                      0.0) * jnp.ones((spec.total_rows, 1))
     x = jax.random.uniform(jax.random.PRNGKey(0), (64, 3))
     out = np.asarray(hash_encode(x, table, spec))
     np.testing.assert_allclose(out, 0.7, rtol=1e-5)
 
 
-def test_dense_level_matches_manual_trilinear():
-    """Level 0 is dense: compare against a manual trilinear interpolation."""
-    spec = make_grid_spec(n_levels=1, n_features=1, log2_hashmap_size=10,
+def test_matches_pointwise_reference():
+    """The wide-row path must agree with the explicit 8-corner gather."""
+    spec = small_spec()
+    key = jax.random.PRNGKey(1)
+    table = jax.random.normal(key, (spec.total_rows, spec.row_width))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (128, 3))
+    a = np.asarray(hash_encode(x, table, spec))
+    b = np.asarray(hash_encode_pointwise(x, table, spec))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_level_manual_trilinear():
+    """Level 0 (R=4, dense 2x2x2-brick grid): manual trilinear check."""
+    spec = make_grid_spec(n_levels=1, n_features=2, log2_hashmap_size=10,
                           base_resolution=4, per_level_scale=2.0)
     rng = np.random.default_rng(3)
-    table = rng.normal(size=(spec.total_entries, 1)).astype(np.float32)
-    # dense layout: idx = x + 5*(y + 5*z)
-    dense = table[:125, 0]
+    table = rng.normal(size=(spec.total_rows, 64)).astype(np.float32)
 
-    x = rng.uniform(0, 1, size=(32, 3)).astype(np.float32)
-    out = np.asarray(hash_encode(jnp.asarray(x), jnp.asarray(table), spec))[:, 0]
+    x = rng.uniform(0.05, 0.95, size=(32, 3)).astype(np.float32)
+    out = np.asarray(hash_encode(jnp.asarray(x), jnp.asarray(table), spec))
 
+    B = 2
     pos = x * 4.0
-    c0 = np.floor(pos).astype(int)
-    f = pos - c0
-    expected = np.zeros(32)
-    for corner in range(8):
-        off = np.array([(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1])
-        cc = np.clip(c0 + off, 0, 4)
-        idx = cc[:, 0] + 5 * (cc[:, 1] + 5 * cc[:, 2])
-        w = np.prod(np.where(off > 0, f, 1 - f), axis=-1)
-        expected += w * dense[idx]
-    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+    cell = np.clip(np.floor(pos).astype(int), 0, 3)
+    frac = pos - np.floor(pos)
+    expected = np.zeros((32, 2))
+    for c in range(8):
+        off = np.array([(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1])
+        brick = cell >> 1
+        p = (cell & 1) + off
+        slot = (brick[:, 0] * B + brick[:, 1]) * B + brick[:, 2]
+        p_idx = (p[:, 0] * 3 + p[:, 1]) * 3 + p[:, 2]
+        w = np.prod(np.where(off > 0.5, frac, 1 - frac), axis=-1)
+        for f in range(2):
+            expected[:, f] += w * table[slot, p_idx * 2 + f]
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
 
 def test_table_gradient_finite_diff():
     spec = small_spec()
-    key = jax.random.PRNGKey(1)
-    table = init_hash_table(key, spec) * 1e4
+    table = init_hash_table(jax.random.PRNGKey(1), spec) * 1e4
     x = jax.random.uniform(jax.random.PRNGKey(2), (16, 3))
     probe = jax.random.normal(jax.random.PRNGKey(3), (16, spec.out_dim))
 
@@ -69,17 +88,14 @@ def test_table_gradient_finite_diff():
         return jnp.sum(hash_encode(x, tb, spec) * probe)
 
     g = jax.grad(loss)(table)
-    # check a few entries touched by the gradient
     gnp = np.asarray(g)
     nz = np.argwhere(np.abs(gnp) > 1e-6)
     assert len(nz) > 0
-    # loss is exactly linear in the table, so a large eps is exact and
-    # avoids fp32 cancellation
+    # loss is linear in the table -> large eps is exact, avoids fp32 cancel
     eps = 1.0
     for i, j in nz[:5]:
-        tp = table.at[i, j].add(eps)
-        tm = table.at[i, j].add(-eps)
-        fd = (loss(tp) - loss(tm)) / (2 * eps)
+        fd = (loss(table.at[i, j].add(eps))
+              - loss(table.at[i, j].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(float(g[i, j]), float(fd), rtol=1e-2,
                                    atol=1e-4)
 
