@@ -177,6 +177,8 @@ def add_train_args(parser) -> None:
                         default=d.ray_sampling_strategy,
                         choices=["all_images", "same_image"])
     parser.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    parser.add_argument("--iters_per_epoch", type=int, default=d.iters_per_epoch,
+                        help="steps per virtual epoch (reference fixes 1000)")
     parser.add_argument("--lr", type=float, default=d.lr)
     parser.add_argument("--optimize_ext", action="store_true")
     parser.add_argument("--random_bg", action="store_true")

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_pl_tpu.config import MAX_SAMPLES, NEAR_DISTANCE, NGPConfig, RenderConfig
+from ngp_pl_tpu.config import (
+    MAX_SAMPLES,
+    NEAR_DISTANCE,
+    SQRT3,
+    NGPConfig,
+    RenderConfig,
+)
 from ngp_pl_tpu.models.ngp import NGP
 from ngp_pl_tpu.ops.intersection import ray_aabb_intersect_single
 from ngp_pl_tpu.ops.ray_march import march_rays_train
@@ -34,6 +40,55 @@ def scene_hits(rays_o, rays_d, scale: float):
     return jnp.stack([near, hits_t[:, 1]], axis=-1)
 
 
+def compute_scene_chain_length(poses, directions, scale: float,
+                               exp_step_factor: float,
+                               max_samples: int = MAX_SAMPLES,
+                               grid_size: int = 128,
+                               subsample: int = 4096) -> int:
+    """Static dt-chain bound for a scene: the longest in-box ray segment any
+    training ray can have, in chain steps (rounded up to 128).
+
+    The chain is a static shape under jit; sizing it to the scene's actual
+    max range instead of the worst-case box diagonal cuts march work 25-60%.
+    """
+    import math as _math
+
+    dt_min = float(SQRT3) / max_samples
+    dt_max = float(SQRT3) * 2 * scale / grid_size
+    poses = np.asarray(poses)
+    directions = np.asarray(directions)
+    if directions.shape[0] > subsample:
+        step = directions.shape[0] // subsample
+        directions = directions[::step]
+    t1_min, range_max = np.inf, 0.0
+    for pose in poses:
+        rd = directions @ pose[:, :3].T
+        ro = pose[:, 3][None, :]
+        inv = 1.0 / rd
+        lo = (-scale - ro) * inv
+        hi = (scale - ro) * inv
+        t1 = np.minimum(lo, hi).max(axis=1)
+        t2 = np.maximum(lo, hi).min(axis=1)
+        hit = (t1 <= t2) & (t2 > 0)
+        if not hit.any():
+            continue
+        near = np.maximum(t1[hit], NEAR_DISTANCE)
+        t1_min = min(t1_min, float(near.min()))
+        range_max = max(range_max, float((t2[hit] - near).max()))
+    if not np.isfinite(t1_min) or range_max <= 0:
+        return max_samples
+    if exp_step_factor == 0.0:
+        steps = int(_math.ceil(range_max / dt_min))
+    else:
+        # simulate the clamped-geometric chain from the most pessimistic start
+        t, steps, t_end = t1_min, 0, t1_min + range_max
+        while t < t_end and steps < 4 * max_samples:
+            t += min(max(t * exp_step_factor, dt_min), dt_max)
+            steps += 1
+    steps = min(int(-(-steps // 128) * 128) + 128, 2 * max_samples)
+    return max(steps, 128)
+
+
 def render_rays_train(
     ngp: NGP,
     params,
@@ -45,6 +100,8 @@ def render_rays_train(
     *,
     rcfg: RenderConfig,
     exposure: Optional[jnp.ndarray] = None,   # (N_rays, 1) HDR exposure
+    pool_mult: Optional[int] = None,          # override rcfg.train_pool_mult
+    chain_length: int = 0,                    # override the dt-chain bound
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable train-time render (reference rendering.py:121-163).
 
@@ -56,7 +113,7 @@ def render_rays_train(
     cfg = ngp.cfg
     N = rays_o.shape[0]
     hits_t = scene_hits(rays_o, rays_d, cfg.scale)
-    pool_size = N * rcfg.train_pool_mult
+    pool_size = N * (pool_mult or rcfg.train_pool_mult)
 
     m = march_rays_train(
         jax.lax.stop_gradient(rays_o),
@@ -70,8 +127,9 @@ def render_rays_train(
         grid_size=cfg.grid_size,
         max_samples=rcfg.max_samples,
         pool_size=pool_size,
-        chain_length=(rcfg.max_samples if cfg.exp_step_factor == 0
-                      else 2 * rcfg.max_samples),
+        chain_length=chain_length or (
+            rcfg.max_samples if cfg.exp_step_factor == 0
+            else 2 * rcfg.max_samples),
     )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)

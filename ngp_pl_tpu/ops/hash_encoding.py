@@ -179,10 +179,17 @@ def hash_encode(
     dense = ((brick[..., 0] * bgrid[None, :] + brick[..., 1])
              * bgrid[None, :] + brick[..., 2])
     slot = jnp.where(dense_mask[None, :], dense, hashed.astype(jnp.int32))
-    row_idx = slot + level_off[None, :]                         # (N, L)
 
-    rows = table[row_idx.reshape(-1)]                           # (N*L, 64)
-    rows = rows.reshape(N, L, spec.row_width)
+    # Gather per level from a static slice of the table.  The whole stacked
+    # table (~56 MB fp32) exceeds VMEM, and XLA's scatter-add (the backward
+    # of this gather) is ~2x slower against HBM-resident operands; slicing
+    # keeps each level's scatter target <= 4 MB (VMEM-resident fast path).
+    # The slice VJP (pad) is a cheap dense op.
+    rows = jnp.stack(
+        [table[spec.offsets[l]:spec.offsets[l] + spec.sizes[l]][slot[:, l]]
+         for l in range(L)],
+        axis=1,
+    )                                                           # (N, L, 64)
 
     # Trilinear blend as one fused 64-lane expression.  The per-point weight
     # factorizes per axis: point coordinate p in {0,1,2} gets weight

@@ -107,6 +107,14 @@ def mip_from_dt(dt, grid_size, cascades):
 
 def _grid_coords(xyz, dt, cascades, scale, grid_size):
     """(mip, nx, ny, nz) int32 cell coords for each sample position."""
+    if cascades == 1:
+        # single-cascade scenes (scale <= 0.5): mip is identically 0 and the
+        # bound is `scale` — skip the per-sample log2/exp2 pipeline entirely
+        mip = jnp.zeros(xyz.shape[:-1], jnp.int32)
+        mip_bound = scale
+        u = (xyz / mip_bound + 1.0) * 0.5 * grid_size
+        n = jnp.clip(u, 0.0, grid_size - 1.0).astype(jnp.int32)
+        return mip, n
     mip = jnp.maximum(
         mip_from_pos(xyz, cascades), mip_from_dt(dt, grid_size, cascades)
     )
@@ -129,30 +137,37 @@ def occupancy_at(occ_grid, xyz, dt, cascades, scale, grid_size):
 
 
 def occupancy_lines(occ_grid):
-    """(C, G, G, G) uint8 -> (C*G*G, G//4) int32 z-line rows.
+    """(C, G, G, G) uint8 -> (C*G*G, G//32) int32 bit-packed z-line rows.
 
     TPU random access is fast only at row granularity, so the marcher fetches
-    the whole z-line containing each queried cell (one 2.2ns row-gather
-    instead of a 5ns byte-gather) and extracts the byte with lane math."""
+    the whole z-line containing each queried cell (one ~2.2ns row-gather
+    instead of a 5ns byte-gather) and extracts the bit with lane math.
+    1 bit/cell keeps the row fetch at 16 bytes for G=128."""
     C, G = occ_grid.shape[0], occ_grid.shape[1]
-    rows = occ_grid.reshape(C * G * G, G // 4, 4)
-    return jax.lax.bitcast_convert_type(rows, jnp.int32)
+    W = max(1, (G + 31) // 32)
+    flat = occ_grid.reshape(C * G * G, G)
+    if W * 32 != G:
+        flat = jnp.pad(flat, ((0, 0), (0, W * 32 - G)))
+    bits = (flat.reshape(C * G * G, W, 32) > 0).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return (bits * weights[None, None, :]).sum(axis=-1).astype(jnp.uint32)
 
 
 def occupancy_at_lines(occ_rows, mip, n, grid_size):
     """Wide-row occupancy test. occ_rows from occupancy_lines;
     mip (...,), n (..., 3) int32. Returns (...) bool."""
     G = grid_size
-    W = G // 4
+    W = max(1, (G + 31) // 32)
     line = (mip * G + n[..., 0]) * G + n[..., 1]
-    rows = occ_rows[line.reshape(-1)]                 # (M, W) int32
+    rows = occ_rows[line.reshape(-1)]                 # (M, W) uint32
     nz = n[..., 2].reshape(-1)
-    word_idx = nz >> 2
+    word_idx = nz >> 5
     lane = jnp.arange(W, dtype=jnp.int32)
     word = jnp.sum(
-        jnp.where(lane[None, :] == word_idx[:, None], rows, 0), axis=1)
-    byte = (word >> ((nz & 3) * 8)) & 0xFF
-    return (byte > 0).reshape(mip.shape)
+        jnp.where(lane[None, :] == word_idx[:, None], rows,
+                  jnp.uint32(0)), axis=1)
+    bit = (word >> (nz & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return (bit > 0).reshape(mip.shape)
 
 
 @partial(

@@ -89,6 +89,20 @@ class NeRFSystem:
         self._rng = np.random.default_rng(tcfg.seed)
         self._writer = None
         self.history: list = []
+        # dynamic sample-pool sizing: the pool is a static shape under jit,
+        # but real samples/ray collapse ~10x once the occupancy grid prunes;
+        # pick the pool bucket from recent demand (power-of-2 multipliers,
+        # sticky via a running max) so steady-state field work shrinks to fit
+        self._pool_buckets = (4, 8, 16, self.rcfg.train_pool_mult)
+        self._pool_mult = self.rcfg.train_pool_mult
+        self._pool_demand = 0.0
+        # static dt-chain bound sized to the scene's actual max ray range
+        from ngp_pl_tpu.models.rendering import compute_scene_chain_length
+
+        self.chain_length = compute_scene_chain_length(
+            self.train_dataset.poses, self.train_dataset.directions,
+            self.cfg.scale, self.cfg.exp_step_factor,
+            self.rcfg.max_samples, self.cfg.grid_size)
 
     # -- setup hooks ----------------------------------------------------
     def on_train_start(self):
@@ -130,7 +144,20 @@ class NeRFSystem:
             batch = self.sample_batch()
         self.state, metrics = self.train_step(
             self.state, self.grid_state.occ_grid, self.poses, self.directions,
-            batch, self.key)
+            batch, self.key, self._pool_mult, self.chain_length)
+        # re-bucket the pool from observed demand every grid-update interval
+        if (step_i + 1) % self.tcfg.grid_update_interval == 0:
+            B = self.tcfg.batch_size
+            used = float(metrics["rm_samples"]) / B
+            overflow = float(metrics["rm_samples"]) >= 0.98 * B * self._pool_mult
+            self._pool_demand = max(0.8 * self._pool_demand,
+                                    used * (4.0 if overflow else 1.5))
+            for m in self._pool_buckets:
+                if m >= self._pool_demand:
+                    self._pool_mult = m
+                    break
+            else:
+                self._pool_mult = self._pool_buckets[-1]
         return metrics
 
     def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,

@@ -93,7 +93,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
     use_pose = tcfg.optimize_ext
     use_exposure = tcfg.use_exposure
 
-    def loss_fn(trainable, occ_grid, poses_all, directions, batch, key):
+    def loss_fn(trainable, occ_grid, poses_all, directions, batch, key,
+                pool_mult, chain_length):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -118,7 +119,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         exposure = batch.get("exposure") if use_exposure else None
         results = render_rays_train(
             ngp, params, occ_grid, rays_o, rays_d, noise, bg,
-            rcfg=rcfg, exposure=exposure)
+            rcfg=rcfg, exposure=exposure, pool_mult=pool_mult,
+            chain_length=chain_length)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -146,16 +148,18 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         }
         return loss, aux
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
-                   key) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+                   key, pool_mult: int = 0, chain_length: int = 0
+                   ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         key = jax.random.fold_in(key, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, occ_grid, poses_all, directions, batch, key)
+            trainable, occ_grid, poses_all, directions, batch, key,
+            pool_mult or None, chain_length)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
