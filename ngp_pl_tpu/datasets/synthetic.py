@@ -52,26 +52,75 @@ def _lookat_pose(cam_pos: np.ndarray) -> np.ndarray:
     return np.stack([right, down, forward, cam_pos], axis=1).astype(np.float32)
 
 
+_GT_CACHE = {}
+
+
+def _jax_gt_renderer(n_steps, t_near, t_far):
+    """Jitted exact renderer of the analytic field (scan over depth)."""
+    import jax
+    import jax.numpy as jnp
+
+    centers = jnp.asarray(np.stack([s[0] for s in _SPHERES]), jnp.float32)
+    radii = jnp.asarray([s[1] for s in _SPHERES], jnp.float32)
+    colors = jnp.asarray(np.stack([s[2] for s in _SPHERES]), jnp.float32)
+    ts = jnp.linspace(t_near, t_far, n_steps, dtype=jnp.float32)
+    dt = float(ts[1] - ts[0])
+
+    def jfield(xyz):
+        d = jnp.linalg.norm(xyz[:, None, :] - centers[None], axis=-1)
+        inside = jnp.clip((radii[None] - d) / _EDGE, 0.0, 1.0)  # (N, S)
+        sigma = _DENSITY * inside.max(axis=1)
+        best = jnp.argmax(inside, axis=1)
+        rgb = jnp.where(inside.max(axis=1)[:, None] > 0,
+                        colors[best], 1.0)
+        return sigma, rgb
+
+    @jax.jit
+    def render(rays_o, d):
+        def body(carry, t):
+            rgb_acc, depth_acc, T = carry
+            sigma, rgb = jfield(rays_o + t * d)
+            alpha = 1.0 - jnp.exp(-sigma * dt)
+            w = alpha * T
+            return (rgb_acc + w[:, None] * rgb, depth_acc + w * t,
+                    T * (1.0 - alpha)), None
+
+        N = rays_o.shape[0]
+        init = (jnp.zeros((N, 3)), jnp.zeros(N), jnp.ones(N))
+        (rgb_acc, depth_acc, T), _ = jax.lax.scan(body, init, ts)
+        return rgb_acc + T[:, None], depth_acc, 1.0 - T
+
+    return render
+
+
 def render_gt(rays_o, rays_d, n_steps=384, t_near=0.6, t_far=2.6):
-    """Exact dense volume render of the analytic field (white background)."""
-    ts = np.linspace(t_near, t_far, n_steps, dtype=np.float32)
-    dt = ts[1] - ts[0]
-    N = rays_o.shape[0]
-    rgb_acc = np.zeros((N, 3), np.float32)
-    depth_acc = np.zeros(N, np.float32)
-    T = np.ones(N, np.float32)
+    """Exact dense volume render of the analytic field (white background).
+
+    Host-side data prep: pinned to the CPU backend so it never pays a remote
+    TPU compile."""
+    import jax
+
+    key = (n_steps, t_near, t_far)
+    if key not in _GT_CACHE:
+        _GT_CACHE[key] = _jax_gt_renderer(n_steps, t_near, t_far)
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    for t in ts:
-        xyz = rays_o + t * d
-        sigma, rgb = field(xyz)
-        alpha = 1.0 - np.exp(-sigma * dt)
-        w = alpha * T
-        rgb_acc += w[:, None] * rgb
-        depth_acc += w * t
-        T *= 1.0 - alpha
-    opacity = 1.0 - T
-    rgb_acc += T[:, None]  # white background
-    return rgb_acc, depth_acc, opacity
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        rgb, depth, opacity = _GT_CACHE[key](
+            np.ascontiguousarray(rays_o, np.float32), d.astype(np.float32))
+    return np.asarray(rgb), np.asarray(depth), np.asarray(opacity)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 class SyntheticDataset(BaseDataset):

@@ -25,8 +25,8 @@ from ngp_pl_tpu.config import (
 )
 from ngp_pl_tpu.models.ngp import NGP
 from ngp_pl_tpu.ops.intersection import ray_aabb_intersect_single
-from ngp_pl_tpu.ops.ray_march import march_rays_train
-from ngp_pl_tpu.ops.volume_render import composite_train
+from ngp_pl_tpu.ops.ray_march import march_rays_test_round, march_rays_train
+from ngp_pl_tpu.ops.volume_render import composite_test_round, composite_train
 
 
 def scene_hits(rays_o, rays_d, scale: float):
@@ -216,6 +216,105 @@ def make_test_renderer(ngp: NGP, rcfg: RenderConfig, chunk: int = 16384,
         return {
             "rgb": rgb,
             "depth": np.concatenate(depths),
+            "opacity": opacity,
+            "total_samples": total_samples,
+        }
+
+    return render_image
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def make_round_renderer(ngp: NGP, rcfg: RenderConfig,
+                        max_rounds: int = 64):
+    """Adaptive alive-ray renderer (reference rendering.py:46-118).
+
+    Host loop over marching rounds: alive rays are compacted (bucketed to
+    powers of two so jit variants stay bounded), each round marches
+    `n_samples = clamp(N_rays // N_alive, min_samples, 64)` occupied samples
+    per alive ray, evaluates the field, composites incrementally, and kills
+    converged rays.  Work per round stays ~O(N_rays) samples while marching
+    advances, which is what gives the reference its inference FPS.
+    """
+    cfg = ngp.cfg
+    min_samples = 1 if cfg.exp_step_factor == 0 else 4
+
+    @partial(jax.jit, static_argnames=("n_s", "chain"))
+    def _round(params, occ_grid, rays_o, rays_d, state_rows, *, n_s, chain):
+        # state_rows: (B, 8) = [t_cursor, t_end, opacity, depth, r, g, b, pad]
+        t_cur = state_rows[:, 0]
+        t_end = state_rows[:, 1]
+        opacity = state_rows[:, 2]
+        depth = state_rows[:, 3]
+        rgb = state_rows[:, 4:7]
+        ts, dts, valid, t_next, n_eff = march_rays_test_round(
+            rays_o, rays_d, t_cur, t_end, occ_grid,
+            cascades=cfg.cascades, scale=cfg.scale,
+            exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=rcfg.max_samples, n_samples=n_s, chain_length=chain)
+        B, S = ts.shape
+        xyz = (rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :])
+        sigmas, rgbs = ngp.forward(params, xyz.reshape(B * S, 3),
+                                   jnp.repeat(rays_d, S, axis=0))
+        sigmas = sigmas.reshape(B, S)
+        rgbs = rgbs.reshape(B, S, 3)
+        alive = jnp.ones((B,), bool)
+        opacity, depth, rgb, alive = composite_test_round(
+            sigmas, rgbs, dts, ts, valid, opacity, depth, rgb, alive,
+            rcfg.test_t_threshold)
+        alive = alive & (t_next < t_end)
+        new_rows = jnp.concatenate(
+            [t_next[:, None], t_end[:, None], opacity[:, None],
+             depth[:, None], rgb, jnp.zeros((B, 1))], axis=1)
+        return new_rows, alive, n_eff.sum()
+
+    def render_image(params, occ_grid, rays_o, rays_d, bg_color=None):
+        if bg_color is None:
+            bg_color = 1.0 if cfg.exp_step_factor == 0 else 0.0
+        N = rays_o.shape[0]
+        rays_o = jnp.asarray(rays_o, jnp.float32)
+        rays_d = jnp.asarray(rays_d, jnp.float32)
+        hits = scene_hits(rays_o, rays_d, cfg.scale)
+        state = np.zeros((N, 8), np.float32)
+        state[:, 0] = np.asarray(hits[:, 0])
+        state[:, 1] = np.asarray(hits[:, 1])
+        alive_idx = np.nonzero(state[:, 0] >= 0)[0]
+        total_samples = 0
+        samples_done = 0
+        rounds = 0
+        while len(alive_idx) and rounds < max_rounds \
+                and samples_done < rcfg.max_samples:
+            N_a = len(alive_idx)
+            n_s = int(np.clip(N // N_a, min_samples, 64))
+            # quantize to 4 variants (1/4/16/64) — each distinct (n_s, B)
+            # pair is a separate XLA program; keep the set small
+            n_s = max(min_samples,
+                      [v for v in (1, 4, 16, 64) if v <= n_s][-1])
+            chain = max(4 * n_s, 64)
+            B = max(256, _next_pow2(N_a))
+            idx = np.pad(alive_idx, (0, B - N_a), constant_values=alive_idx[0])
+            ro = jnp.asarray(rays_o)[idx]
+            rd = jnp.asarray(rays_d)[idx]
+            rows = jnp.asarray(state[idx])
+            new_rows, alive, ns = _round(params, occ_grid, ro, rd, rows,
+                                         n_s=n_s, chain=chain)
+            new_rows_np = np.asarray(new_rows[:N_a])
+            state[alive_idx] = new_rows_np
+            alive_np = np.asarray(alive[:N_a])
+            alive_idx = alive_idx[alive_np]
+            total_samples += int(ns)
+            samples_done += n_s
+            rounds += 1
+        opacity = state[:, 2]
+        rgb = state[:, 4:7] + np.asarray(bg_color) * (1 - opacity[:, None])
+        return {
+            "rgb": rgb,
+            "depth": state[:, 3],
             "opacity": opacity,
             "total_samples": total_samples,
         }

@@ -174,6 +174,79 @@ def occupancy_at_lines(occ_rows, mip, n, grid_size):
     jax.jit,
     static_argnames=(
         "cascades", "scale", "exp_step_factor", "grid_size", "max_samples",
+        "n_samples", "chain_length",
+    ),
+)
+def march_rays_test_round(
+    rays_o: jnp.ndarray,      # (N, 3) — compacted alive rays
+    rays_d: jnp.ndarray,      # (N, 3)
+    t_start: jnp.ndarray,     # (N,) resume cursor (reference hits_t[r][0])
+    t_end: jnp.ndarray,       # (N,) far bound
+    occ_grid: jnp.ndarray,
+    *,
+    cascades: int,
+    scale: float,
+    exp_step_factor: float,
+    grid_size: int,
+    max_samples: int,
+    n_samples: int,           # occupied samples to produce per ray this round
+    chain_length: int,        # chain steps to examine per ray this round
+):
+    """One inference marching round (reference raymarching.cu:335-454).
+
+    Returns (ts (N, S), deltas (N, S), valid (N, S) bool, t_next (N,),
+    n_eff (N,)). `t_next` is the resume cursor: the chain position after the
+    last examined step, or just past the n_samples-th occupied sample.
+    """
+    N = rays_o.shape[0]
+    K, S = chain_length, n_samples
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2.0 * scale / grid_size
+
+    k = jnp.arange(K + 1, dtype=jnp.float32)[None, :]          # (1, K+1)
+    ts_all = _chain_t(t_start[:, None], k, exp_step_factor, dt_min, dt_max)
+    ts = ts_all[:, :K]                                         # (N, K)
+    dts = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
+    in_range = (ts < t_end[:, None]) & (t_start[:, None] >= 0)
+
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
+    occ = occupancy_at_lines(occupancy_lines(occ_grid), mip, n, grid_size)
+    occ = occ & in_range                                       # (N, K)
+
+    occ_i = occ.astype(jnp.int32)
+    incl = jnp.cumsum(occ_i, axis=1)
+    take = occ & (incl <= S)
+    n_eff = jnp.minimum(incl[:, -1], S)                        # (N,)
+
+    # first-S selection: top_k over keys favoring earliest taken steps
+    keys = jnp.where(take, -jnp.arange(K, dtype=jnp.int32)[None, :],
+                     -(K + 1))
+    # top_k sorts keys descending => -k descending => k ASCENDING, with the
+    # -(K+1) non-taken sentinels last — already front-to-back order
+    _, idx = jax.lax.top_k(keys, S)                            # (N, S)
+    s_valid = jnp.arange(S)[None, :] < n_eff[:, None]
+    ts_s = jnp.take_along_axis(ts, idx, axis=1)
+    dts_s = jnp.take_along_axis(dts, idx, axis=1)
+
+    # resume cursor: after the S-th occupied sample, else after the last
+    # examined chain step (still < t_end) — mirrors hits_t advance in the
+    # reference test kernel (raymarching.cu:390)
+    last_t = jnp.where(
+        n_eff >= S,
+        jnp.take_along_axis(ts_all, jnp.take_along_axis(
+            idx, jnp.maximum(n_eff - 1, 0)[:, None], axis=1) + 1,
+            axis=1)[:, 0],
+        ts_all[:, K],
+    )
+    t_next = jnp.minimum(last_t, t_end)
+    return ts_s, dts_s, s_valid, t_next, n_eff
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cascades", "scale", "exp_step_factor", "grid_size", "max_samples",
         "pool_size", "chain_length",
     ),
 )

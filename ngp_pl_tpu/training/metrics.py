@@ -49,9 +49,12 @@ def ssim(img0, img1, max_val=1.0):
 
     mu0 = filt(img0)
     mu1 = filt(img1)
-    s00 = filt(img0 * img0) - mu0 * mu0
-    s11 = filt(img1 * img1) - mu1 * mu1
+    # clamp variances at 0: the E[x^2]-E[x]^2 form can go slightly negative
+    # in fp32 on near-constant regions, pushing SSIM > 1
+    s00 = jnp.maximum(filt(img0 * img0) - mu0 * mu0, 0.0)
+    s11 = jnp.maximum(filt(img1 * img1) - mu1 * mu1, 0.0)
     s01 = filt(img0 * img1) - mu0 * mu1
+    s01 = jnp.sign(s01) * jnp.minimum(jnp.abs(s01), jnp.sqrt(s00 * s11))
     num = (2 * mu0 * mu1 + c1) * (2 * s01 + c2)
     den = (mu0 * mu0 + mu1 * mu1 + c1) * (s00 + s11 + c2)
     return jnp.mean(num / den)
