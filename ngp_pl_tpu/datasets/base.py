@@ -43,9 +43,23 @@ class BaseDataset:
         return self.rays.ndim == 3 and self.rays.shape[-1] == 4
 
     def sample_batch(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        """One training batch of random rays (reference base.py:24-35)."""
+        """One training batch of random rays (reference base.py:24-35).
+
+        Uses the native threaded sampler (ngp_pl_tpu.native) when available;
+        falls back to numpy fancy indexing otherwise."""
         n_img = len(self.poses)
         n_pix = self.img_wh[0] * self.img_wh[1]
+        if n_img and n_pix and self.rays.size:
+            from ngp_pl_tpu import native
+
+            out = native.sample_batch(
+                self.rays, self.batch_size, self.ray_sampling_strategy,
+                int(rng.integers(0, 2 ** 62)))
+            if out is not None:
+                if self.has_exposure and "exposure" not in out:
+                    out["exposure"] = self.rays[
+                        out["img_idxs"], out["pix_idxs"], 3:]
+                return out
         if self.ray_sampling_strategy == "all_images":
             img_idxs = rng.integers(0, n_img, self.batch_size)
         elif self.ray_sampling_strategy == "same_image":

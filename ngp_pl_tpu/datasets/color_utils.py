@@ -21,16 +21,29 @@ def read_image(img_path, img_wh, blend_a=True):
     RGBA images are alpha-blended onto white (blend_a) or premultiplied
     (reference color_utils.py:19-30)."""
     import imageio.v2 as imageio
-    import cv2
 
-    img = imageio.imread(img_path).astype(np.float32) / 255.0
-    if img.ndim == 2:
-        img = np.repeat(img[..., None], 3, axis=-1)
-    if img.shape[-1] == 4:
-        if blend_a:
-            img = img[..., :3] * img[..., -1:] + (1 - img[..., -1:])
-        else:
-            img = img[..., :3] * img[..., -1:]
+    raw = imageio.imread(img_path)
+    if raw.ndim == 2:
+        raw = np.repeat(raw[..., None], 3, axis=-1)
+    h, w = raw.shape[:2]
+    img = None
+    if raw.dtype == np.uint8:
+        from ngp_pl_tpu import native
+
+        flat = native.u8_to_rays(
+            np.ascontiguousarray(raw.reshape(h * w, raw.shape[-1])),
+            blend_a=blend_a, premultiply=not blend_a)
+        if flat is not None:
+            img = flat.reshape(h, w, 3)
+    if img is None:
+        img = raw.astype(np.float32) / 255.0
+        if img.shape[-1] == 4:
+            if blend_a:
+                img = img[..., :3] * img[..., -1:] + (1 - img[..., -1:])
+            else:
+                img = img[..., :3] * img[..., -1:]
     if (img.shape[1], img.shape[0]) != tuple(img_wh):
+        import cv2
+
         img = cv2.resize(img, tuple(img_wh))
     return img.reshape(-1, 3)

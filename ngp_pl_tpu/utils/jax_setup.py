@@ -19,6 +19,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    # Honor JAX_PLATFORMS even when a site hook force-set jax_platforms at
+    # interpreter start (some TPU images register remote backends that way);
+    # without this, `JAX_PLATFORMS=cpu python train.py ...` silently runs on
+    # the remote device.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     cache_dir = (cache_dir
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.join(os.path.dirname(os.path.dirname(
