@@ -141,6 +141,10 @@ class TrainConfig:
     # TPU specifics
     mesh_data_axis: str = "data"
     log_every: int = 100
+    # device-resident ray store: sample batches inside the jitted step
+    # (no per-step host->device transfer) when the rays fit this budget
+    device_dataset: bool = True
+    device_dataset_max_bytes: int = 4 << 30
 
     @property
     def max_steps(self) -> int:

@@ -150,6 +150,7 @@ def render_rays_train(
     out["offsets"] = m.offsets
     out["rm_samples"] = m.total
     out["rm_counts"] = m.rm_counts
+    out["chain_demand"] = m.chain_demand
     out["vr_samples"] = out["vr_samples"].sum()
     return out
 

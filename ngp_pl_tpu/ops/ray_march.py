@@ -51,6 +51,7 @@ class MarchResults(NamedTuple):
     offsets: jnp.ndarray   # (N_rays,) start slot per ray (exclusive cumsum)
     total: jnp.ndarray     # () int32 total samples in the pool
     rm_counts: jnp.ndarray  # (N_rays,) samples found by marching (pre-clip)
+    chain_demand: jnp.ndarray  # () int32 chain steps the batch actually needs
 
 
 def calc_dt(t, exp_step_factor, max_samples, grid_size, scale):
@@ -243,11 +244,84 @@ def march_rays_test_round(
     return ts_s, dts_s, s_valid, t_next, n_eff
 
 
+def occupied_span(rays_o, rays_d, t1, t2, occ_grid, *, scale, grid_size,
+                  dt_min, super_factor: int = 4):
+    """Conservative per-ray bounds [t_s, t_e] of the occupied region
+    (single-cascade scenes).
+
+    A coarse pre-march over a dilated super-grid (super_factor^3 cells per
+    supercell, 3^3 max-pool dilation) samples at half-supercell spacing;
+    dilation guarantees point sampling cannot miss an occupied cell, so every
+    occupied fine-chain sample lies in [t_s, t_e].  t_s is snapped DOWN to the
+    dt_min lattice anchored at t1, so fine-chain sample positions are
+    bit-identical to the unskipped chain's (the skip removes provably-empty
+    prefix/suffix work, never changes sample placement).  TPU rationale: the
+    fine march's cost is ~linear in chain steps; the coarse pass costs
+    N x ~114 gathers from a 4 KB table.
+
+    Returns (t_s, t_e, span_steps) with span_steps = per-ray needed fine
+    chain steps (0 when nothing occupied).
+    """
+    SG = grid_size // super_factor
+    sup = (occ_grid[0].reshape(SG, super_factor, SG, super_factor,
+                               SG, super_factor) > 0).any(axis=(1, 3, 5))
+    sup_d = jax.lax.reduce_window(
+        sup.astype(jnp.uint32), jnp.uint32(0), jax.lax.max,
+        (3, 3, 3), (1, 1, 1), "SAME")                     # (SG, SG, SG)
+    # pack z into words (SG <= 32 -> one uint32 per (x, y) line)
+    W = max(1, (SG + 31) // 32)
+    bits = sup_d.reshape(SG * SG, W, 32 if SG >= 32 else SG)
+    weights = (jnp.uint32(1) << jnp.arange(bits.shape[-1], dtype=jnp.uint32))
+    lines = (bits * weights[None, None, :]).sum(axis=-1)  # (SG*SG, W) uint32
+
+    e = 2.0 * scale / SG
+    dt_c = 0.5 * e
+    K_c = int(math.ceil(2.0 * scale * SQRT3 / dt_c)) + 2
+
+    k = jnp.arange(K_c, dtype=jnp.float32)[None, :]
+    ts_c = t1[:, None] + (k + 0.5) * dt_c                 # (N, K_c) midpoints
+    # an interval [t1+k*dt_c, t1+(k+1)*dt_c) matters if it STARTS before t2;
+    # its midpoint may stick out past t2 — the box clip below projects it
+    # back (non-expansive), keeping the 1-cell dilation guarantee intact
+    in_r = (t1[:, None] >= 0) & (ts_c - 0.5 * dt_c < t2[:, None])
+    xyz = rays_o[:, None, :] + ts_c[..., None] * rays_d[:, None, :]
+    u = (xyz / scale + 1.0) * 0.5 * SG
+    n = jnp.clip(u, 0.0, SG - 1.0).astype(jnp.int32)
+    line_idx = n[..., 0] * SG + n[..., 1]
+    rows = lines[line_idx.reshape(-1)]                    # (M, W)
+    nz = n[..., 2].reshape(-1)
+    if W == 1:
+        word = rows[:, 0]
+    else:
+        lane = jnp.arange(W, dtype=jnp.int32)
+        word = jnp.sum(jnp.where(lane[None, :] == (nz >> 5)[:, None], rows,
+                                 jnp.uint32(0)), axis=1)
+    occ_c = ((word >> (nz & 31).astype(jnp.uint32)) & 1) > 0
+    occ_c = occ_c.reshape(ts_c.shape) & in_r              # (N, K_c)
+
+    any_hit = occ_c.any(axis=1)
+    first_k = jnp.argmax(occ_c, axis=1)
+    last_k = K_c - 1 - jnp.argmax(occ_c[:, ::-1], axis=1)
+    t_s = t1 + first_k.astype(jnp.float32) * dt_c
+    t_e = jnp.minimum(t2, t1 + (last_k + 1).astype(jnp.float32) * dt_c)
+    # snap the skip to the fine-chain lattice
+    m = jnp.floor(jnp.maximum(t_s - t1, 0.0) / dt_min)
+    t_s = t1 + m * dt_min
+    t_s = jnp.where(any_hit, t_s, t2)
+    t_e = jnp.where(any_hit, t_e, t2)
+    span_steps = jnp.where(
+        any_hit & (t1 >= 0),
+        jnp.ceil((t_e - t_s) / dt_min).astype(jnp.int32) + 1,
+        0,
+    )
+    return t_s, t_e, span_steps
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cascades", "scale", "exp_step_factor", "grid_size", "max_samples",
-        "pool_size", "chain_length",
+        "pool_size", "chain_length", "skip_empty_span",
     ),
 )
 def march_rays_train(
@@ -264,6 +338,7 @@ def march_rays_train(
     max_samples: int,
     pool_size: int,
     chain_length: int = 0,
+    skip_empty_span: bool = True,
 ) -> MarchResults:
     """March all rays through occupied space into a flat sample pool.
 
@@ -290,17 +365,31 @@ def march_rays_train(
     t1 = hits_t[:, 0]
     t2 = hits_t[:, 1]
     hit = t1 >= 0
-    t0 = t1 + calc_dt(t1, exp_step_factor, max_samples, grid_size, scale) * noise
+    if skip_empty_span and cascades == 1 and exp_step_factor == 0.0:
+        t1s, t2s, span_steps = occupied_span(
+            rays_o, rays_d, t1, t2, occ_grid,
+            scale=scale, grid_size=grid_size, dt_min=dt_min)
+        chain_demand = span_steps.max().astype(jnp.int32)
+    else:
+        t1s, t2s = t1, t2
+        chain_demand = None                 # derive from fine occupancy below
+    t0 = t1s + calc_dt(t1s, exp_step_factor, max_samples, grid_size, scale) * noise
 
     k = jnp.arange(K, dtype=jnp.float32)[None, :]              # (1, K)
     ts = _chain_t(t0[:, None], k, exp_step_factor, dt_min, dt_max)  # (N, K)
     dts = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
-    in_range = hit[:, None] & (ts >= 0) & (ts < t2[:, None])
+    in_range = hit[:, None] & (ts >= 0) & (ts < t2s[:, None])
 
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]   # (N, K, 3)
     mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
     occ = occupancy_at_lines(occupancy_lines(occ_grid), mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
+
+    if chain_demand is None:
+        # chain steps actually used: one past the last occupied step; K
+        # itself signals possible truncation (the caller re-buckets up)
+        kk = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
+        chain_demand = jnp.max(jnp.where(occ, kk, 0)).astype(jnp.int32)
 
     # per-ray occupied-sample cap + bookkeeping (prefix sums)
     occ_i = occ.astype(jnp.int32)
@@ -371,4 +460,5 @@ def march_rays_train(
         offsets=offsets,
         total=total,
         rm_counts=rm_counts,
+        chain_demand=chain_demand,
     )

@@ -82,6 +82,15 @@ class NeRFSystem:
 
         self.poses = jnp.asarray(self.train_dataset.poses)
         self.directions = jnp.asarray(self.train_dataset.directions)
+        # device-resident ray store: when the training rays fit the HBM
+        # budget, keep them on-chip and sample batches INSIDE the jitted
+        # step — zero per-step host->device transfer (critical when the
+        # device sits behind a high-latency link)
+        self.rays_device = None
+        rays = self.train_dataset.rays
+        if (tcfg.device_dataset and rays.size
+                and rays.nbytes <= tcfg.device_dataset_max_bytes):
+            self.rays_device = jnp.asarray(np.asarray(rays, np.float32))
         # threshold 0.01 * MAX_SAMPLES / sqrt(3) (reference train.py:160)
         self.density_threshold = jnp.asarray(
             0.01 * MAX_SAMPLES / math.sqrt(3.0), jnp.float32)
@@ -89,6 +98,10 @@ class NeRFSystem:
         self._rng = np.random.default_rng(tcfg.seed)
         self._writer = None
         self.history: list = []
+        # host-side mirror of state.step: reading the device scalar every
+        # step would force a blocking device->host sync (24ms+ through a
+        # remote tunnel) and serialize the step pipeline
+        self._host_step = 0
         # dynamic sample-pool sizing: the pool is a static shape under jit,
         # but real samples/ray collapse ~10x once the occupancy grid prunes;
         # pick the pool bucket from recent demand (power-of-2 multipliers,
@@ -99,10 +112,19 @@ class NeRFSystem:
         # static dt-chain bound sized to the scene's actual max ray range
         from ngp_pl_tpu.models.rendering import compute_scene_chain_length
 
-        self.chain_length = compute_scene_chain_length(
+        self.chain_full = compute_scene_chain_length(
             self.train_dataset.poses, self.train_dataset.directions,
             self.cfg.scale, self.cfg.exp_step_factor,
             self.rcfg.max_samples, self.cfg.grid_size)
+        # runtime chain buckets: the march reports how many chain steps the
+        # batch actually needed (occupied-span bound); once the occupancy
+        # grid converges this is far below the geometric worst case, so the
+        # static chain shrinks the same way the sample pool does
+        self._chain_buckets = sorted({
+            max(128, -(-int(self.chain_full * f) // 128) * 128)
+            for f in (0.25, 0.5, 0.75, 1.0)})
+        self.chain_length = self._chain_buckets[-1]
+        self._chain_demand = float(self.chain_length)
 
     # -- setup hooks ----------------------------------------------------
     def on_train_start(self):
@@ -131,7 +153,7 @@ class NeRFSystem:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def step(self, batch=None) -> Dict[str, float]:
-        step_i = int(self.state.step)
+        step_i = self._host_step
         if step_i % self.tcfg.grid_update_interval == 0:
             self.key, k = jax.random.split(self.key)
             self.grid_state = self.update_density_grid(
@@ -140,12 +162,20 @@ class NeRFSystem:
                 warmup=step_i < self.tcfg.grid_warmup_steps,
                 erode=self.erode,
             )
-        if batch is None:
-            batch = self.sample_batch()
-        self.state, metrics = self.train_step(
-            self.state, self.grid_state.occ_grid, self.poses, self.directions,
-            batch, self.key, self._pool_mult, self.chain_length)
-        # re-bucket the pool from observed demand every grid-update interval
+        if batch is None and self.rays_device is not None:
+            self.state, metrics = self.train_step.device_variant(
+                self.state, self.grid_state.occ_grid, self.poses,
+                self.directions, self.rays_device, self.key,
+                self._pool_mult, self.chain_length)
+        else:
+            if batch is None:
+                batch = self.sample_batch()
+            self.state, metrics = self.train_step(
+                self.state, self.grid_state.occ_grid, self.poses,
+                self.directions, batch, self.key, self._pool_mult,
+                self.chain_length)
+        self._host_step = step_i + 1
+        # re-bucket pool + chain from observed demand every update interval
         if (step_i + 1) % self.tcfg.grid_update_interval == 0:
             B = self.tcfg.batch_size
             used = float(metrics["rm_samples"]) / B
@@ -158,6 +188,16 @@ class NeRFSystem:
                     break
             else:
                 self._pool_mult = self._pool_buckets[-1]
+            need = float(metrics["chain_demand"])
+            trunc = need >= self.chain_length  # fine-occ demand hit the cap
+            self._chain_demand = max(0.9 * self._chain_demand,
+                                     need * (2.0 if trunc else 1.2))
+            for c in self._chain_buckets:
+                if c >= self._chain_demand:
+                    self.chain_length = c
+                    break
+            else:
+                self.chain_length = self._chain_buckets[-1]
         return metrics
 
     def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,
@@ -258,3 +298,4 @@ class NeRFSystem:
             params=params, opt_state=opt_state,
             step=jnp.asarray(step, jnp.int32))
         self.grid_state = grid_state
+        self._host_step = int(step)

@@ -145,18 +145,16 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "rm_samples": results["rm_samples"],
             "vr_samples": results["vr_samples"],
             "rm_counts_max": results["rm_counts"].max(),
+            "chain_demand": results["chain_demand"],
         }
         return loss, aux
 
-    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
-    def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
-                   key, pool_mult: int = 0, chain_length: int = 0
-                   ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def _step_core(state, occ_grid, poses_all, directions, batch, key,
+                   pool_mult, chain_length):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
-        key = jax.random.fold_in(key, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, occ_grid, poses_all, directions, batch, key,
             pool_mult or None, chain_length)
@@ -174,6 +172,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "rm_samples": aux["rm_samples"],
             "vr_samples": aux["vr_samples"],
             "rm_counts_max": aux["rm_counts_max"],
+            "chain_demand": aux["chain_demand"],
         }
         return (
             TrainState(params=params, pose_params=pose_params,
@@ -181,4 +180,45 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             metrics,
         )
 
+    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
+    def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
+                   key, pool_mult: int = 0, chain_length: int = 0
+                   ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key = jax.random.fold_in(key, state.step)
+        return _step_core(state, occ_grid, poses_all, directions, batch, key,
+                          pool_mult, chain_length)
+
+    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
+    def train_step_device(state: TrainState, occ_grid, poses_all, directions,
+                          rays_store, key, pool_mult: int = 0,
+                          chain_length: int = 0
+                          ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Fully on-device step: batch sampling happens INSIDE the program.
+
+        `rays_store` is the whole (N_images, H*W, C) training ray tensor kept
+        resident in HBM; (image, pixel) indices are drawn with the on-device
+        RNG, so the hot loop involves zero host->device data movement (the
+        reference instead streams CPU-sampled batches from 16 DataLoader
+        workers every step, train.py:141-152)."""
+        key = jax.random.fold_in(key, state.step)
+        k_img, k_pix, key = jax.random.split(key, 3)
+        B = tcfg.batch_size
+        n_img, n_pix = rays_store.shape[0], rays_store.shape[1]
+        if tcfg.ray_sampling_strategy == "same_image":
+            img_idxs = jnp.broadcast_to(
+                jax.random.randint(k_img, (1,), 0, n_img), (B,)
+            ).astype(jnp.int32)
+        else:                                    # all_images
+            img_idxs = jax.random.randint(
+                k_img, (B,), 0, n_img, dtype=jnp.int32)
+        pix_idxs = jax.random.randint(k_pix, (B,), 0, n_pix, dtype=jnp.int32)
+        payload = rays_store[img_idxs, pix_idxs]          # (B, C) row gather
+        batch = {"img_idxs": img_idxs, "pix_idxs": pix_idxs,
+                 "rgb": payload[:, :3]}
+        if use_exposure and rays_store.shape[-1] >= 4:
+            batch["exposure"] = payload[:, 3:4]
+        return _step_core(state, occ_grid, poses_all, directions, batch, key,
+                          pool_mult, chain_length)
+
+    train_step.device_variant = train_step_device
     return train_step

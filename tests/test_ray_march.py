@@ -165,3 +165,77 @@ def test_march_start_noise():
     dt_min = SQRT3 / 1024
     np.testing.assert_allclose(float(m1.ts[0]) - float(m0.ts[0]), 0.5 * dt_min,
                                rtol=1e-3)
+
+
+def test_skip_empty_span_exactness():
+    """The occupied-span prefix skip must not change the sample pool at all
+    (it removes provably-empty chain work; positions snap to the same
+    dt_min lattice)."""
+    G = 16
+    rng = np.random.default_rng(3)
+    occ = (rng.random((1, G, G, G)) < 0.05).astype(np.uint8)
+    N = 32
+    d = rng.normal(size=(N, 3)) * np.float32([0.3, 0.3, 0.1]) + [0, 0, 1.0]
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    rays_o = np.tile(np.float32([[0.1, -0.05, -2.0]]), (N, 1))
+    # analytic slab hit with the scale-0.5 box
+    inv = 1.0 / d
+    lo = (-0.5 - rays_o) * inv
+    hi = (0.5 - rays_o) * inv
+    t1 = np.minimum(lo, hi).max(1)
+    t2 = np.maximum(lo, hi).min(1)
+    ok = (t1 <= t2) & (t2 > 0)
+    hits = np.where(ok[:, None], np.stack([np.maximum(t1, 0.01), t2], -1),
+                    -np.ones((N, 2), np.float32)).astype(np.float32)
+    noise = rng.random(N).astype(np.float32)
+    base = dict(cascades=1, scale=0.5, exp_step_factor=0.0, grid_size=G,
+                max_samples=1024, pool_size=N * 64, chain_length=1024)
+    m_skip = march_rays_train(jnp.asarray(rays_o), jnp.asarray(d),
+                              jnp.asarray(hits), jnp.asarray(occ),
+                              jnp.asarray(noise), skip_empty_span=True, **base)
+    m_ref = march_rays_train(jnp.asarray(rays_o), jnp.asarray(d),
+                             jnp.asarray(hits), jnp.asarray(occ),
+                             jnp.asarray(noise), skip_empty_span=False, **base)
+    assert int(m_skip.total) == int(m_ref.total)
+    np.testing.assert_array_equal(np.asarray(m_skip.counts),
+                                  np.asarray(m_ref.counts))
+    tot = int(m_ref.total)
+    np.testing.assert_allclose(np.asarray(m_skip.ts[:tot]),
+                               np.asarray(m_ref.ts[:tot]), rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_skip.ray_idx[:tot]),
+                                  np.asarray(m_ref.ray_idx[:tot]))
+    # the skip's chain demand must cover every sample it produced
+    dt_min = SQRT3 / 1024
+    need = int(m_skip.chain_demand)
+    assert need <= 1024
+
+
+def test_chain_demand_reports_need():
+    """chain_demand from the fine path: one past the last occupied step."""
+    G = 16
+    occ = np.zeros((1, G, G, G), np.uint8)
+    occ[0, :, :, G // 2:] = 1  # far half occupied (z > 0)
+    m = march(jnp.asarray(occ), jnp.asarray([[0.0, 0.0, -2.0]]),
+              jnp.asarray([[0.0, 0.0, 1.0]]), jnp.asarray([[1.5, 2.5]]),
+              skip_empty_span=False)
+    dt_min = SQRT3 / 1024
+    # last occupied point is just before z=0.5 -> t ~ 2.5; chain starts at 1.5
+    need = int(m.chain_demand)
+    assert abs(need - int(1.0 / dt_min)) <= 2
+
+
+def test_skip_empty_span_demand_shrinks():
+    """With the skip, demand reflects the occupied span, not the full range.
+    (Needs a realistic grid: at tiny G the 3^3 supercell dilation covers the
+    whole box and the skip conservatively does nothing.)"""
+    G = 64
+    occ = np.zeros((1, G, G, G), np.uint8)
+    occ[0, 24:40, 24:40, 24:40] = 1  # central blob, 1/4 of the box edge
+    m = march(jnp.asarray(occ), jnp.asarray([[0.0, 0.0, -2.0]]),
+              jnp.asarray([[0.0, 0.0, 1.0]]), jnp.asarray([[1.5, 2.5]]),
+              skip_empty_span=True)
+    dt_min = SQRT3 / 1024
+    full_range = int(1.0 / dt_min)
+    # blob + dilation margin spans well under half the box
+    assert 0 < int(m.chain_demand) < full_range * 3 // 4
+    assert int(m.counts[0]) > 0

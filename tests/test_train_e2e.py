@@ -65,3 +65,17 @@ def test_checkpoint_roundtrip(tmp_path, trained_system):
 
     params, occ = load_slim_checkpoint(ps, params=sys2.state.params)
     np.testing.assert_array_equal(occ, np.asarray(sys.grid_state.occ_grid))
+
+
+def test_device_dataset_mode_active(trained_system):
+    """Synthetic rays fit the HBM budget -> on-device sampling is in use."""
+    assert trained_system.rays_device is not None
+
+
+def test_host_batch_path_matches_interface(trained_system):
+    """Explicit host-sampled batches (the reference DataLoader contract)
+    still drive the step."""
+    b = trained_system.sample_batch()
+    m = trained_system.step(b)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["psnr"]) > 10.0
