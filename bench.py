@@ -50,8 +50,15 @@ def main():
 
     # converge occupancy / pool & chain buckets / lr into the steady state
     # the reference spends ~95% of its training budget in
+    t_w = time.time()
     for i in range(steps_warm):
         system.step()
+        if (i + 1) % 64 == 0:
+            jax.block_until_ready(system.state.params)
+            print(f"warm {i+1}/{steps_warm} {(time.time()-t_w)/64*1e3:.0f}ms/step"
+                  f" pool x{system._pool_mult} chain {system.chain_length}",
+                  file=sys.stderr, flush=True)
+            t_w = time.time()
     jax.block_until_ready(system.state.params)
 
     t0 = time.time()

@@ -231,6 +231,126 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
+                               chunk: int = 16384, slots: int = 4096,
+                               n_s: int = 16, max_rounds: int = 512):
+    """Device-resident adaptive renderer (reference rendering.py:46-118,
+    re-designed for a high-latency host link).
+
+    The reference's alive-ray loop returns to the host every round to compact
+    the alive list; behind a remote tunnel each of those syncs costs more
+    than the round's compute.  Here the WHOLE loop is one XLA program: a
+    `lax.while_loop` whose body picks the first `slots` alive rays with an
+    on-device argsort (compaction), marches `n_s` occupied samples for each,
+    evaluates the field, composites incrementally, and scatters state back.
+    The host sees exactly one dispatch per chunk.
+    """
+    cfg = ngp.cfg
+    chain = max(4 * n_s, 64)
+    from ngp_pl_tpu.ops.ray_march import occupancy_lines
+
+    @jax.jit
+    def _render_chunk(params, occ_grid, rays_o, rays_d):
+        N = rays_o.shape[0]
+        hits = scene_hits(rays_o, rays_d, cfg.scale)
+        occ_rows = occupancy_lines(occ_grid)
+
+        init = dict(
+            t_cur=hits[:, 0],
+            opacity=jnp.zeros((N,), jnp.float32),
+            depth=jnp.zeros((N,), jnp.float32),
+            rgb=jnp.zeros((N, 3), jnp.float32),
+            alive=hits[:, 0] >= 0,
+            samples=jnp.zeros((N,), jnp.int32),
+            total=jnp.zeros((), jnp.int32),
+            rounds=jnp.zeros((), jnp.int32),
+        )
+        t_end = hits[:, 1]
+
+        def cond(c):
+            return c["alive"].any() & (c["rounds"] < max_rounds)
+
+        def body(c):
+            # on-device compaction: stable-sort alive-first, take the head
+            order = jnp.argsort(jnp.where(c["alive"], 0, 1),
+                                stable=True).astype(jnp.int32)
+            idx = order[:slots]                                  # (S,)
+            sel_alive = c["alive"][idx]
+            ro, rd = rays_o[idx], rays_d[idx]
+            te = t_end[idx]
+            ts, dts, valid, t_next, n_eff = march_rays_test_round(
+                ro, rd, c["t_cur"][idx], te, occ_grid,
+                cascades=cfg.cascades, scale=cfg.scale,
+                exp_step_factor=cfg.exp_step_factor,
+                grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
+                n_samples=n_s, chain_length=chain, occ_rows=occ_rows)
+            S = slots
+            xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+            dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))
+            sigmas, rgbs = ngp.forward(params, xyz.reshape(S * n_s, 3),
+                                       dirs.reshape(S * n_s, 3))
+            sigmas = sigmas.reshape(S, n_s)
+            rgbs = rgbs.reshape(S, n_s, 3)
+            o2, d2, r2, a2 = composite_test_round(
+                sigmas, rgbs, dts, ts, valid,
+                c["opacity"][idx], c["depth"][idx], c["rgb"][idx],
+                sel_alive, rcfg.test_t_threshold)
+            a2 = a2 & (t_next < te)
+            s2 = c["samples"][idx] + jnp.where(sel_alive, n_s, 0)
+            a2 = a2 & (s2 < rcfg.max_samples)
+
+            def upd(old_sel, new, old_full):
+                keep = sel_alive if new.ndim == 1 else sel_alive[:, None]
+                return old_full.at[idx].set(jnp.where(keep, new, old_sel))
+
+            return dict(
+                t_cur=upd(c["t_cur"][idx], t_next, c["t_cur"]),
+                opacity=upd(c["opacity"][idx], o2, c["opacity"]),
+                depth=upd(c["depth"][idx], d2, c["depth"]),
+                rgb=upd(c["rgb"][idx], r2, c["rgb"]),
+                alive=upd(c["alive"][idx], a2, c["alive"]),
+                samples=upd(c["samples"][idx], s2, c["samples"]),
+                total=c["total"]
+                + jnp.where(sel_alive, n_eff, 0).sum().astype(jnp.int32),
+                rounds=c["rounds"] + 1,
+            )
+
+        final = jax.lax.while_loop(cond, body, init)
+        return (final["rgb"], final["depth"], final["opacity"],
+                final["total"])
+
+    def render_image(params, occ_grid, rays_o, rays_d, bg_color=None):
+        if bg_color is None:
+            bg_color = 1.0 if cfg.exp_step_factor == 0 else 0.0
+        N = rays_o.shape[0]
+        rgbs, depths, opacities = [], [], []
+        total = 0
+        for i in range(0, N, chunk):
+            ro = jnp.asarray(rays_o[i:i + chunk], jnp.float32)
+            rd = jnp.asarray(rays_d[i:i + chunk], jnp.float32)
+            pad = chunk - ro.shape[0]
+            if pad:
+                ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            rgb, depth, opa, ns = _render_chunk(params, occ_grid, ro, rd)
+            n = min(chunk, N - i)
+            rgbs.append(np.asarray(rgb[:n]))
+            depths.append(np.asarray(depth[:n]))
+            opacities.append(np.asarray(opa[:n]))
+            total += int(ns)
+        rgb = np.concatenate(rgbs)
+        opacity = np.concatenate(opacities)
+        rgb = rgb + np.asarray(bg_color) * (1.0 - opacity[:, None])
+        return {
+            "rgb": rgb,
+            "depth": np.concatenate(depths),
+            "opacity": opacity,
+            "total_samples": total,
+        }
+
+    return render_image
+
+
 def make_round_renderer(ngp: NGP, rcfg: RenderConfig,
                         max_rounds: int = 64):
     """Adaptive alive-ray renderer (reference rendering.py:46-118).

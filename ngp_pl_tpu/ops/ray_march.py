@@ -192,6 +192,7 @@ def march_rays_test_round(
     max_samples: int,
     n_samples: int,           # occupied samples to produce per ray this round
     chain_length: int,        # chain steps to examine per ray this round
+    occ_rows: jnp.ndarray | None = None,  # precomputed occupancy_lines
 ):
     """One inference marching round (reference raymarching.cu:335-454).
 
@@ -212,7 +213,9 @@ def march_rays_test_round(
 
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
-    occ = occupancy_at_lines(occupancy_lines(occ_grid), mip, n, grid_size)
+    if occ_rows is None:
+        occ_rows = occupancy_lines(occ_grid)
+    occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
 
     occ_i = occ.astype(jnp.int32)

@@ -25,7 +25,7 @@ from ngp_pl_tpu.models.occupancy import (
     make_update_density_grid,
     mark_invisible_cells,
 )
-from ngp_pl_tpu.models.rendering import make_round_renderer
+from ngp_pl_tpu.models.rendering import make_device_round_renderer
 from ngp_pl_tpu.training import checkpoint as ckpt
 from ngp_pl_tpu.training.metrics import LPIPSHook, psnr as psnr_fn, ssim as ssim_fn
 from ngp_pl_tpu.training.train_step import (
@@ -67,7 +67,7 @@ class NeRFSystem:
         unit_exp = getattr(self.train_dataset, "unit_exposure_rgb", 0.5)
         self.train_step = make_train_step(self.ngp, tcfg, self.rcfg,
                                           unit_exposure_rgb=unit_exp)
-        self.render_image = make_round_renderer(self.ngp, self.rcfg)
+        self.render_image = make_device_round_renderer(self.ngp, self.rcfg)
         self.lpips = LPIPSHook()
 
         self.key = jax.random.PRNGKey(tcfg.seed)
