@@ -61,7 +61,14 @@ def ssim(img0, img1, max_val=1.0):
 
 
 class LPIPSHook:
-    """Lazy LPIPS(vgg) evaluator; inactive when weights are unavailable."""
+    """Lazy LPIPS(vgg) evaluator using the pure-JAX implementation
+    (ngp_pl_tpu.training.lpips_jax).
+
+    Weight discovery order:
+      1. NGP_PL_TPU_LPIPS_NPZ env var -> npz in our naming scheme
+      2. the `lpips` pip package's pretrained weights (converted once)
+    Inactive (validation skips the metric) when neither is available —
+    hermetic images ship no pretrained perceptual weights."""
 
     def __init__(self):
         self._fn = None
@@ -71,25 +78,31 @@ class LPIPSHook:
     def available(self) -> bool:
         if not self._tried:
             self._tried = True
-            try:
-                import lpips  # noqa: F401
-                import torch
+            import os
 
-                net = lpips.LPIPS(net="vgg")
+            from ngp_pl_tpu.training import lpips_jax
 
-                def run(pred, gt):
-                    # (H, W, 3) in [0,1] -> [-1, 1] NCHW
-                    def conv(x):
-                        t = torch.from_numpy(
-                            np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-                        return t * 2 - 1
+            params = None
+            npz = os.environ.get("NGP_PL_TPU_LPIPS_NPZ")
+            if npz and os.path.exists(npz):
+                params = lpips_jax.load_weights_npz(npz)
+            else:
+                import tempfile
 
-                    with torch.no_grad():
-                        return float(net(conv(pred), conv(gt)))
-
-                self._fn = run
-            except Exception:
-                self._fn = None
+                cache = os.path.join(tempfile.gettempdir(),
+                                     "ngp_pl_tpu_lpips_vgg.npz")
+                if not os.path.exists(cache):
+                    try:
+                        lpips_jax.export_from_torch_lpips(cache)
+                    except Exception:
+                        pass
+                if os.path.exists(cache):
+                    params = lpips_jax.load_weights_npz(cache)
+            if params is not None:
+                fn = lpips_jax.make_lpips_fn(params)
+                self._fn = lambda pred, gt: float(
+                    fn(jnp.asarray(pred, jnp.float32),
+                       jnp.asarray(gt, jnp.float32)))
         return self._fn is not None
 
     def __call__(self, pred, gt):

@@ -105,3 +105,22 @@ def test_sphere_intersect():
         jnp.asarray([[0.0, 0.0, 0.0]]), jnp.asarray([1.0]), 1)
     assert int(cnt[0]) == 1
     np.testing.assert_allclose(np.asarray(hits_t[0, 0]), [2.0, 4.0], atol=1e-5)
+
+
+def test_pfm_roundtrip(tmp_path):
+    """PFM depth IO (reference datasets/depth_utils.py)."""
+    import numpy as np
+    from ngp_pl_tpu.datasets.depth_utils import read_pfm, write_pfm
+
+    rng = np.random.default_rng(0)
+    depth = rng.random((7, 5)).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    write_pfm(p, depth)
+    got, scale = read_pfm(p)
+    np.testing.assert_allclose(got, depth, rtol=1e-6)
+    rgbf = rng.random((4, 6, 3)).astype(np.float32)
+    p2 = str(tmp_path / "c.pfm")
+    write_pfm(p2, rgbf, scale=2.0)
+    got2, scale2 = read_pfm(p2)
+    np.testing.assert_allclose(got2, rgbf, rtol=1e-6)
+    assert scale2 == 2.0
