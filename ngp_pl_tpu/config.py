@@ -138,8 +138,10 @@ class TrainConfig:
     ckpt_path: Optional[str] = None
     weight_path: Optional[str] = None
     seed: int = 1337
-    # TPU specifics
+    # TPU specifics (reference opt.py:42-43 --num_gpus)
     mesh_data_axis: str = "data"
+    num_devices: int = 0       # 0 = use ALL visible devices (data mesh); N>0
+                               # = first N devices (1 disables the mesh)
     log_every: int = 100
     # device-resident ray store: sample batches inside the jitted step
     # (no per-step host->device transfer) when the rays fit this budget
@@ -193,6 +195,9 @@ def add_train_args(parser) -> None:
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--weight_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--num_devices", type=int, default=d.num_devices,
+                        help="devices for the data mesh; 0 = all visible "
+                             "(reference opt.py --num_gpus)")
 
 
 def config_from_args(args) -> TrainConfig:

@@ -22,7 +22,17 @@ _SPHERES = [
     (np.array([0.05, -0.28, -0.2]), 0.09, np.array([0.95, 0.85, 0.2])),
 ]
 _DENSITY = 120.0
-_EDGE = 0.02  # soft shell width
+_EDGE = 0.02   # soft edge width
+_THICK = 0.05  # shell thickness — spheres are HOLLOW so the per-ray occupied
+               # span (~2 thin crossings) matches real NeRF scenes like Lego
+               # (thin structures, rm_s ~ 30-60/ray), not a solid blob whose
+               # interior would march hundreds of samples per ray
+
+
+def _shell(d: np.ndarray, radius: float):
+    outer = np.clip((radius - d) / _EDGE, 0.0, 1.0)
+    inner = np.clip((d - (radius - _THICK)) / _EDGE, 0.0, 1.0)
+    return outer * inner
 
 
 def field(xyz: np.ndarray):
@@ -32,7 +42,7 @@ def field(xyz: np.ndarray):
     weight = np.zeros(xyz.shape[0], np.float32)
     for center, radius, color in _SPHERES:
         d = np.linalg.norm(xyz - center[None], axis=-1)
-        inside = np.clip((radius - d) / _EDGE, 0.0, 1.0)
+        inside = _shell(d, radius)
         sigma = np.maximum(sigma, _DENSITY * inside)
         new = inside > weight
         rgb[new] = color
@@ -68,7 +78,9 @@ def _jax_gt_renderer(n_steps, t_near, t_far):
 
     def jfield(xyz):
         d = jnp.linalg.norm(xyz[:, None, :] - centers[None], axis=-1)
-        inside = jnp.clip((radii[None] - d) / _EDGE, 0.0, 1.0)  # (N, S)
+        outer = jnp.clip((radii[None] - d) / _EDGE, 0.0, 1.0)   # (N, S)
+        inner = jnp.clip((d - (radii[None] - _THICK)) / _EDGE, 0.0, 1.0)
+        inside = outer * inner
         sigma = _DENSITY * inside.max(axis=1)
         best = jnp.argmax(inside, axis=1)
         rgb = jnp.where(inside.max(axis=1)[:, None] > 0,

@@ -45,7 +45,13 @@ def depth2img(depth: np.ndarray) -> np.ndarray:
 
 
 class NeRFSystem:
-    def __init__(self, tcfg: TrainConfig, train_dataset=None, test_dataset=None):
+    def __init__(self, tcfg: TrainConfig, train_dataset=None, test_dataset=None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a `data` axis for
+        data-parallel training (reference: Lightning DDP over ray batches,
+        train.py:271-272).  When given — or when multiple devices are
+        visible — params/grid are replicated, ray batches sharded, and XLA
+        inserts the gradient psum over ICI inside the jitted step."""
         from ngp_pl_tpu.utils.jax_setup import enable_compilation_cache
 
         enable_compilation_cache()
@@ -65,15 +71,36 @@ class NeRFSystem:
         self.grid_state = init_grid_state(self.cfg)
         self.update_density_grid = make_update_density_grid(self.ngp, self.cfg)
         unit_exp = getattr(self.train_dataset, "unit_exposure_rgb", 0.5)
-        self.train_step = make_train_step(self.ngp, tcfg, self.rcfg,
-                                          unit_exposure_rgb=unit_exp)
+        self._make_train_step = lambda sh: make_train_step(
+            self.ngp, tcfg, self.rcfg, unit_exposure_rgb=unit_exp,
+            batch_sharding=sh)
         self.render_image = make_device_round_renderer(self.ngp, self.rcfg)
         self.lpips = LPIPSHook()
+
+        # data-parallel mesh (all devices by default, reference --num_gpus)
+        n_dev = tcfg.num_devices or jax.device_count()
+        if mesh is None and n_dev > 1:
+            from ngp_pl_tpu.parallel.mesh import data_mesh
+
+            mesh = data_mesh(jax.devices()[:n_dev], axis=tcfg.mesh_data_axis)
+        self.mesh = mesh
+        self._repl = None
+        self._shard0 = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._repl = NamedSharding(mesh, P())
+            self._shard0 = NamedSharding(mesh, P(tcfg.mesh_data_axis))
+
+        self.train_step = self._make_train_step(self._shard0)
 
         self.key = jax.random.PRNGKey(tcfg.seed)
         self.key, k_init = jax.random.split(self.key)
         self.state = init_train_state(self.ngp, tcfg, k_init,
                                       len(self.train_dataset.poses))
+        if self._repl is not None:
+            self.state = jax.device_put(self.state, self._repl)
+            self.grid_state = jax.device_put(self.grid_state, self._repl)
         if tcfg.weight_path:
             params, grid = ckpt.load_slim_checkpoint(
                 tcfg.weight_path, params=self.state.params)
@@ -82,6 +109,9 @@ class NeRFSystem:
 
         self.poses = jnp.asarray(self.train_dataset.poses)
         self.directions = jnp.asarray(self.train_dataset.directions)
+        if self._repl is not None:
+            self.poses = jax.device_put(self.poses, self._repl)
+            self.directions = jax.device_put(self.directions, self._repl)
         # device-resident ray store: when the training rays fit the HBM
         # budget, keep them on-chip and sample batches INSIDE the jitted
         # step — zero per-step host->device transfer (critical when the
@@ -91,6 +121,8 @@ class NeRFSystem:
         if (tcfg.device_dataset and rays.size
                 and rays.nbytes <= tcfg.device_dataset_max_bytes):
             self.rays_device = jnp.asarray(np.asarray(rays, np.float32))
+            if self._repl is not None:
+                self.rays_device = jax.device_put(self.rays_device, self._repl)
         # threshold 0.01 * MAX_SAMPLES / sqrt(3) (reference train.py:160)
         self.density_threshold = jnp.asarray(
             0.01 * MAX_SAMPLES / math.sqrt(3.0), jnp.float32)
@@ -150,6 +182,9 @@ class NeRFSystem:
     # -- training -------------------------------------------------------
     def sample_batch(self) -> Dict[str, jnp.ndarray]:
         batch = self.train_dataset.sample_batch(self._rng)
+        if self._shard0 is not None:
+            return {k: jax.device_put(v, self._shard0)
+                    for k, v in batch.items()}
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def step(self, batch=None) -> Dict[str, float]:

@@ -87,8 +87,13 @@ def apply_pose_refinement(poses, pose_params, img_idxs):
 
 
 def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
-                    unit_exposure_rgb: float = 0.5):
-    """Returns train_step(state, occ_grid, poses, directions, batch, key)."""
+                    unit_exposure_rgb: float = 0.5, batch_sharding=None):
+    """Returns train_step(state, occ_grid, poses, directions, batch, key).
+
+    batch_sharding: optional NamedSharding(P('data')) — applied as a
+    sharding constraint to on-device-sampled batches so each chip renders
+    its slice of the global batch (the DP split the reference gets from
+    Lightning DDP's per-rank loaders, train.py:271-272)."""
     optimizer = make_optimizer(tcfg)
     use_pose = tcfg.optimize_ext
     use_exposure = tcfg.use_exposure
@@ -212,6 +217,11 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             img_idxs = jax.random.randint(
                 k_img, (B,), 0, n_img, dtype=jnp.int32)
         pix_idxs = jax.random.randint(k_pix, (B,), 0, n_pix, dtype=jnp.int32)
+        if batch_sharding is not None:
+            img_idxs = jax.lax.with_sharding_constraint(
+                img_idxs, batch_sharding)
+            pix_idxs = jax.lax.with_sharding_constraint(
+                pix_idxs, batch_sharding)
         payload = rays_store[img_idxs, pix_idxs]          # (B, C) row gather
         batch = {"img_idxs": img_idxs, "pix_idxs": pix_idxs,
                  "rgb": payload[:, :3]}

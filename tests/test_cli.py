@@ -10,7 +10,7 @@ def test_train_cli(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "train.py", "--root_dir", "", "--dataset_name", "synthetic",
         "--downsample", "0.25", "--num_epochs", "1", "--iters_per_epoch", "60",
-        "--batch_size", "512", "--exp_name", "smoke", "--no_save_test",
+        "--batch_size", "512", "--exp_name", "smoke", "--no_save_test", "--num_devices", "1",
     ])
     import importlib
     train = importlib.import_module("train")

@@ -76,3 +76,37 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_system_auto_mesh_trains():
+    """NeRFSystem builds a data mesh automatically on multi-device hosts and
+    trains with sharded batches + replicated params (SURVEY §2.4)."""
+    import jax
+    import numpy as np
+
+    from ngp_pl_tpu.config import TrainConfig
+    from ngp_pl_tpu.datasets.synthetic import SyntheticDataset
+    from ngp_pl_tpu.training.system import NeRFSystem
+
+    assert jax.device_count() >= 8
+    tcfg = TrainConfig(dataset_name="synthetic", batch_size=512,
+                       exp_name="mesh_e2e", no_save_test=True,
+                       grid_warmup_steps=4)
+    sys_ = NeRFSystem(
+        tcfg,
+        train_dataset=SyntheticDataset(split="train", img_size=32, n_train=2),
+        test_dataset=SyntheticDataset(split="test", img_size=32, n_test=1))
+    assert sys_.mesh is not None and sys_.mesh.devices.size == 8
+    # params replicated over the mesh
+    sh = sys_.state.params["hash_table"].sharding
+    assert sh.is_fully_replicated
+    before = np.asarray(sys_.state.params["hash_table"])
+    m = sys_.step()
+    m2 = sys_.step()
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m2["loss"]))
+    after = np.asarray(sys_.state.params["hash_table"])
+    assert np.abs(after - before).max() > 0
+    # host-sampled batches also shard
+    b = sys_.sample_batch()
+    m3 = sys_.step(b)
+    assert np.isfinite(float(m3["loss"]))

@@ -13,7 +13,8 @@ from ngp_pl_tpu.training.system import NeRFSystem
 def make_system(**cfg_kw):
     tcfg = TrainConfig(
         dataset_name="synthetic", batch_size=1024, num_epochs=2,
-        iters_per_epoch=100, grid_warmup_steps=50, log_every=50, **cfg_kw)
+        iters_per_epoch=100, grid_warmup_steps=50, log_every=50,
+        num_devices=1, **cfg_kw)
     train_ds = SyntheticDataset(split="train", img_size=64, n_train=10)
     test_ds = SyntheticDataset(split="test", img_size=64, n_test=2)
     return NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
