@@ -25,7 +25,11 @@ from ngp_pl_tpu.config import (
 )
 from ngp_pl_tpu.models.ngp import NGP
 from ngp_pl_tpu.ops.intersection import ray_aabb_intersect_single
-from ngp_pl_tpu.ops.ray_march import march_rays_test_round, march_rays_train
+from ngp_pl_tpu.ops.ray_march import (
+    march_rays_test_round,
+    march_rays_train,
+    march_rays_train_segments,
+)
 from ngp_pl_tpu.ops.volume_render import composite_test_round, composite_train
 
 
@@ -102,6 +106,7 @@ def render_rays_train(
     exposure: Optional[jnp.ndarray] = None,   # (N_rays, 1) HDR exposure
     pool_mult: Optional[int] = None,          # override rcfg.train_pool_mult
     chain_length: int = 0,                    # override the dt-chain bound
+    n_intervals: int = 0,                     # >0: two-level segment march
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable train-time render (reference rendering.py:121-163).
 
@@ -115,22 +120,38 @@ def render_rays_train(
     hits_t = scene_hits(rays_o, rays_d, cfg.scale)
     pool_size = N * (pool_mult or rcfg.train_pool_mult)
 
-    m = march_rays_train(
-        jax.lax.stop_gradient(rays_o),
-        jax.lax.stop_gradient(rays_d),
-        jax.lax.stop_gradient(hits_t),
-        occ_grid,
-        noise,
-        cascades=cfg.cascades,
-        scale=cfg.scale,
-        exp_step_factor=cfg.exp_step_factor,
-        grid_size=cfg.grid_size,
-        max_samples=rcfg.max_samples,
-        pool_size=pool_size,
-        chain_length=chain_length or (
-            rcfg.max_samples if cfg.exp_step_factor == 0
-            else 2 * rcfg.max_samples),
-    )
+    chain = chain_length or (
+        rcfg.max_samples if cfg.exp_step_factor == 0
+        else 2 * rcfg.max_samples)
+    if n_intervals > 0 and cfg.cascades == 1 and cfg.exp_step_factor == 0.0:
+        m = march_rays_train_segments(
+            jax.lax.stop_gradient(rays_o),
+            jax.lax.stop_gradient(rays_d),
+            jax.lax.stop_gradient(hits_t),
+            occ_grid,
+            noise,
+            scale=cfg.scale,
+            grid_size=cfg.grid_size,
+            max_samples=rcfg.max_samples,
+            pool_size=pool_size,
+            chain_length=chain,
+            n_intervals=n_intervals,
+        )
+    else:
+        m = march_rays_train(
+            jax.lax.stop_gradient(rays_o),
+            jax.lax.stop_gradient(rays_d),
+            jax.lax.stop_gradient(hits_t),
+            occ_grid,
+            noise,
+            cascades=cfg.cascades,
+            scale=cfg.scale,
+            exp_step_factor=cfg.exp_step_factor,
+            grid_size=cfg.grid_size,
+            max_samples=rcfg.max_samples,
+            pool_size=pool_size,
+            chain_length=chain,
+        )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)
     xyz = rays_o[ridx] + m.ts[:, None] * rays_d[ridx]

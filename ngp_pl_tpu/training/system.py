@@ -157,6 +157,26 @@ class NeRFSystem:
             for f in (0.25, 0.5, 0.75, 1.0)})
         self.chain_length = self._chain_buckets[-1]
         self._chain_demand = float(self.chain_length)
+        # two-level segment march (ops/ray_march.py:march_rays_train_segments):
+        # available for single-cascade uniform-step scenes with narrow-enough
+        # FOV; the per-ray interval budget is re-bucketed from demand like the
+        # sample pool.  During grid warmup occupancy is dense, so the budget
+        # starts at the worst case and shrinks as the grid converges.
+        from ngp_pl_tpu.ops.ray_march import SEGMENT_J, segment_march_dmax_ok
+
+        self._seg_j = SEGMENT_J
+        self.segment_march = (
+            self.cfg.cascades == 1 and self.cfg.exp_step_factor == 0.0
+            and segment_march_dmax_ok(
+                self.train_dataset.directions,
+                grid_size=self.cfg.grid_size,
+                max_samples=self.rcfg.max_samples))
+        k_a = -(-self.chain_full // SEGMENT_J)     # coarse intervals per ray
+        self._interval_buckets = sorted({
+            min(k_a, max(16, -(-int(k_a * f) // 8) * 8))
+            for f in (0.125, 0.25, 0.5, 1.0)})
+        self.n_intervals = self._interval_buckets[-1] if self.segment_march else 0
+        self._interval_demand = float(self.n_intervals)
 
     # -- setup hooks ----------------------------------------------------
     def on_train_start(self):
@@ -201,14 +221,14 @@ class NeRFSystem:
             self.state, metrics = self.train_step.device_variant(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
-                self._pool_mult, self.chain_length)
+                self._pool_mult, self.chain_length, self.n_intervals)
         else:
             if batch is None:
                 batch = self.sample_batch()
             self.state, metrics = self.train_step(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, batch, self.key, self._pool_mult,
-                self.chain_length)
+                self.chain_length, self.n_intervals)
         self._host_step = step_i + 1
         # re-bucket pool + chain from observed demand every update interval
         if (step_i + 1) % self.tcfg.grid_update_interval == 0:
@@ -223,16 +243,29 @@ class NeRFSystem:
                     break
             else:
                 self._pool_mult = self._pool_buckets[-1]
-            need = float(metrics["chain_demand"])
-            trunc = need >= self.chain_length  # fine-occ demand hit the cap
-            self._chain_demand = max(0.9 * self._chain_demand,
-                                     need * (2.0 if trunc else 1.2))
-            for c in self._chain_buckets:
-                if c >= self._chain_demand:
-                    self.chain_length = c
-                    break
+            if self.segment_march:
+                # chain_demand is interval_demand * J on this path
+                need = float(metrics["chain_demand"]) / self._seg_j
+                trunc = need >= self.n_intervals
+                self._interval_demand = max(0.9 * self._interval_demand,
+                                            need * (2.0 if trunc else 1.2))
+                for m in self._interval_buckets:
+                    if m >= self._interval_demand:
+                        self.n_intervals = m
+                        break
+                else:
+                    self.n_intervals = self._interval_buckets[-1]
             else:
-                self.chain_length = self._chain_buckets[-1]
+                need = float(metrics["chain_demand"])
+                trunc = need >= self.chain_length  # demand hit the cap
+                self._chain_demand = max(0.9 * self._chain_demand,
+                                         need * (2.0 if trunc else 1.2))
+                for c in self._chain_buckets:
+                    if c >= self._chain_demand:
+                        self.chain_length = c
+                        break
+                else:
+                    self.chain_length = self._chain_buckets[-1]
         return metrics
 
     def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,

@@ -99,7 +99,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
     use_exposure = tcfg.use_exposure
 
     def loss_fn(trainable, occ_grid, poses_all, directions, batch, key,
-                pool_mult, chain_length):
+                pool_mult, chain_length, n_intervals):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -125,7 +125,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         results = render_rays_train(
             ngp, params, occ_grid, rays_o, rays_d, noise, bg,
             rcfg=rcfg, exposure=exposure, pool_mult=pool_mult,
-            chain_length=chain_length)
+            chain_length=chain_length, n_intervals=n_intervals)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -155,14 +155,14 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         return loss, aux
 
     def _step_core(state, occ_grid, poses_all, directions, batch, key,
-                   pool_mult, chain_length):
+                   pool_mult, chain_length, n_intervals):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, occ_grid, poses_all, directions, batch, key,
-            pool_mult or None, chain_length)
+            pool_mult or None, chain_length, n_intervals)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
@@ -185,18 +185,21 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             metrics,
         )
 
-    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
+    @partial(jax.jit,
+             static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
-                   key, pool_mult: int = 0, chain_length: int = 0
+                   key, pool_mult: int = 0, chain_length: int = 0,
+                   n_intervals: int = 0
                    ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(key, state.step)
         return _step_core(state, occ_grid, poses_all, directions, batch, key,
-                          pool_mult, chain_length)
+                          pool_mult, chain_length, n_intervals)
 
-    @partial(jax.jit, static_argnames=("pool_mult", "chain_length"))
+    @partial(jax.jit,
+             static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step_device(state: TrainState, occ_grid, poses_all, directions,
                           rays_store, key, pool_mult: int = 0,
-                          chain_length: int = 0
+                          chain_length: int = 0, n_intervals: int = 0
                           ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Fully on-device step: batch sampling happens INSIDE the program.
 
@@ -228,7 +231,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         if use_exposure and rays_store.shape[-1] >= 4:
             batch["exposure"] = payload[:, 3:4]
         return _step_core(state, occ_grid, poses_all, directions, batch, key,
-                          pool_mult, chain_length)
+                          pool_mult, chain_length, n_intervals)
 
     train_step.device_variant = train_step_device
     return train_step

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# the image exports JAX_PLATFORMS=axon globally and
+# enable_compilation_cache() re-honors the env var (so CLI users can
+# override the sitecustomize force-set) — tests must override the ENV, not
+# just the config, or the first NeRFSystem construction flips it back
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -239,3 +239,81 @@ def test_skip_empty_span_demand_shrinks():
     # blob + dilation margin spans well under half the box
     assert 0 < int(m.chain_demand) < full_range * 3 // 4
     assert int(m.counts[0]) > 0
+
+
+def test_segment_march_exactness():
+    """The two-level segment march must produce the identical sample pool as
+    the plain chain march when the interval budget covers demand: the dilated
+    coarse test is conservative (can only admit extra EMPTY intervals, never
+    reject one containing an occupied fine cell) and fine t values live on
+    the same t0 + k*dt_min lattice."""
+    from ngp_pl_tpu.ops.ray_march import march_rays_train_segments
+
+    G = 16
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        occ = (rng.random((1, G, G, G)) < [0.03, 0.2, 0.7][trial]
+               ).astype(np.uint8)
+        N = 32
+        d = rng.normal(size=(N, 3)) * np.float32([0.3, 0.3, 0.1]) + [0, 0, 1.0]
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        rays_o = np.tile(np.float32([[0.1, -0.05, -2.0]]), (N, 1))
+        inv = 1.0 / d
+        lo = (-0.5 - rays_o) * inv
+        hi = (0.5 - rays_o) * inv
+        t1 = np.minimum(lo, hi).max(1)
+        t2 = np.maximum(lo, hi).min(1)
+        ok = (t1 <= t2) & (t2 > 0)
+        hits = np.where(ok[:, None], np.stack([np.maximum(t1, 0.01), t2], -1),
+                        -np.ones((N, 2), np.float32)).astype(np.float32)
+        noise = rng.random(N).astype(np.float32)
+        m_seg = march_rays_train_segments(
+            jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+            jnp.asarray(occ), jnp.asarray(noise),
+            scale=0.5, grid_size=G, max_samples=1024, pool_size=N * 64,
+            chain_length=1024, n_intervals=128)
+        m_ref = march_rays_train(
+            jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+            jnp.asarray(occ), jnp.asarray(noise),
+            cascades=1, scale=0.5, exp_step_factor=0.0, grid_size=G,
+            max_samples=1024, pool_size=N * 64, chain_length=1024,
+            skip_empty_span=False)
+        assert int(m_seg.total) == int(m_ref.total)
+        np.testing.assert_array_equal(np.asarray(m_seg.counts),
+                                      np.asarray(m_ref.counts))
+        tot = int(m_ref.total)
+        np.testing.assert_allclose(np.asarray(m_seg.ts[:tot]),
+                                   np.asarray(m_ref.ts[:tot]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m_seg.ray_idx[:tot]),
+                                      np.asarray(m_ref.ray_idx[:tot]))
+
+
+def test_segment_march_truncation_and_demand():
+    """With a tiny interval budget the segment march truncates back-to-front
+    (keeps the EARLIEST samples) and reports demand above the budget."""
+    from ngp_pl_tpu.ops.ray_march import SEGMENT_J, march_rays_train_segments
+
+    G = 16
+    occ = np.ones((1, G, G, G), np.uint8)      # fully occupied
+    N = 4
+    d = np.tile(np.float32([[0.0, 0.0, 1.0]]), (N, 1))
+    rays_o = np.tile(np.float32([[0.05, 0.05, -2.0]]), (N, 1))
+    hits = np.tile(np.float32([[1.5, 2.5]]), (N, 1))
+    noise = np.zeros(N, np.float32)
+    M = 16
+    m = march_rays_train_segments(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+        jnp.asarray(occ), jnp.asarray(noise),
+        scale=0.5, grid_size=G, max_samples=1024, pool_size=N * 256,
+        chain_length=1024, n_intervals=M)
+    counts = np.asarray(m.counts)
+    assert (counts == M * SEGMENT_J).all()     # every interval fully occupied
+    assert int(m.chain_demand) > M * SEGMENT_J
+    # earliest samples kept: first sample of ray 0 is at t0 = 1.5
+    tot = int(m.total)
+    ts = np.asarray(m.ts[:tot])
+    ridx = np.asarray(m.ray_idx[:tot])
+    np.testing.assert_allclose(ts[ridx == 0][0], 1.5, atol=1e-6)
+    dt_min = SQRT3 / 1024
+    np.testing.assert_allclose(np.diff(ts[ridx == 0]), dt_min, atol=1e-6)
