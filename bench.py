@@ -48,23 +48,29 @@ def main():
     # measured loop does zero host->device data movement
     assert system.rays_device is not None
 
+    # NOTE: on remote-tunnel backends `jax.block_until_ready` may be a
+    # no-op; a host transfer of a scalar is the reliable completion fence.
+    def fence(metrics):
+        return float(np.asarray(metrics["loss"]))
+
     # converge occupancy / pool & chain buckets / lr into the steady state
     # the reference spends ~95% of its training budget in
     t_w = time.time()
     for i in range(steps_warm):
-        system.step()
+        m = system.step()
         if (i + 1) % 64 == 0:
-            jax.block_until_ready(system.state.params)
+            fence(m)
             print(f"warm {i+1}/{steps_warm} {(time.time()-t_w)/64*1e3:.0f}ms/step"
-                  f" pool x{system._pool_mult} chain {system.chain_length}",
+                  f" pool x{system._pool_mult} chain {system.chain_length}"
+                  f" n_int {system.n_intervals}",
                   file=sys.stderr, flush=True)
             t_w = time.time()
-    jax.block_until_ready(system.state.params)
+    fence(m)
 
     t0 = time.time()
     for i in range(steps_meas):
-        system.step()
-    jax.block_until_ready(system.state.params)
+        m = system.step()
+    fence(m)
     dt = time.time() - t0
 
     rays_per_s = tcfg.batch_size * steps_meas / dt

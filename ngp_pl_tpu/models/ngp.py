@@ -20,6 +20,7 @@ from ngp_pl_tpu.config import NGPConfig
 from ngp_pl_tpu.ops.hash_encoding import (
     HashGridSpec,
     hash_encode,
+    hash_encode_mlp,
     init_hash_table,
     make_grid_spec,
 )
@@ -103,11 +104,16 @@ class NGP:
     # --- field queries -------------------------------------------------
     def density(self, params: Params, x: jnp.ndarray, return_feat: bool = False):
         """x: (N, 3) world positions in [-scale, scale]^3 -> sigma (N,)
-        (reference networks.py:94-107)."""
+        (reference networks.py:94-107).
+
+        The hash encoding and the first sigma-MLP layer run as one fused
+        level-major gather->MXU op (ops/hash_encoding.py:hash_encode_mlp);
+        the remaining layers are plain matmuls."""
         cfg = self.cfg
         xn = (x + cfg.scale) / (2.0 * cfg.scale)            # -> [0, 1]
-        enc = hash_encode(xn, params["hash_table"], self.spec)
-        h = _mlp_apply(params["sigma_mlp"], enc, self.dtype)
+        h1 = hash_encode_mlp(xn, params["hash_table"],
+                             params["sigma_mlp"][0], self.spec)
+        h = _mlp_apply(params["sigma_mlp"][1:], jax.nn.relu(h1), self.dtype)
         sigma = trunc_exp(h[:, 0])
         if return_feat:
             return sigma, h

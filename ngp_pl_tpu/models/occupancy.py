@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ngp_pl_tpu.config import NEAR_DISTANCE, NGPConfig
 from ngp_pl_tpu.ops.grid_ops import packbits
 from ngp_pl_tpu.ops.morton import morton3d
+from ngp_pl_tpu.ops.ray_march import dilate_lines, occupancy_lines
 
 
 class OccupancyGridState(NamedTuple):
@@ -36,15 +37,27 @@ class OccupancyGridState(NamedTuple):
     count_grid: jnp.ndarray     # (C, G^3) fp32 camera-coverage fraction
     occ_grid: jnp.ndarray       # (C, G, G, G) uint8, the marcher's input
     mean_density: jnp.ndarray   # () fp32
+    # derived, refreshed with occ_grid so the per-step march never repacks:
+    occ_rows: jnp.ndarray       # (C*G*G, W) uint32 bit-packed z-lines
+    dil_rows: jnp.ndarray       # same, 3^3-dilated (segment-march level A)
+
+
+def grid_rows(occ_grid: jnp.ndarray, cascades: int, grid_size: int):
+    """(occ_rows, dil_rows) packed z-line forms of the occupancy grid."""
+    rows = occupancy_lines(occ_grid)
+    return rows, dilate_lines(rows, cascades, grid_size)
 
 
 def init_grid_state(cfg: NGPConfig) -> OccupancyGridState:
     C, G = cfg.cascades, cfg.grid_size
+    W = max(1, (G + 31) // 32)
     return OccupancyGridState(
         density_grid=jnp.zeros((C, G ** 3), jnp.float32),
         count_grid=jnp.zeros((C, G ** 3), jnp.float32),
         occ_grid=jnp.zeros((C, G, G, G), jnp.uint8),
         mean_density=jnp.zeros((), jnp.float32),
+        occ_rows=jnp.zeros((C * G * G, W), jnp.uint32),
+        dil_rows=jnp.zeros((C * G * G, W), jnp.uint32),
     )
 
 
@@ -120,14 +133,23 @@ def mark_invisible_cells(
 
 def _sample_cells(key, density_grid_c, M: int, G: int, density_threshold):
     """M uniform + M occupied-cell samples for one cascade
-    (networks.py:169-195), static shapes."""
+    (networks.py:169-195), static shapes.
+
+    Uniform-over-occupied is drawn by prefix-sum-compacting the occupied cell
+    ids into a list and indexing it with uniform integers — one 2M-row
+    scatter + one gather, ~3x cheaper than inverse-CDF searchsorted (which
+    costs ~log2(G^3) gather rounds per query batch on TPU)."""
     k1, k2 = jax.random.split(key)
-    idx_uniform = jax.random.randint(k1, (M,), 0, G ** 3, jnp.int32)
-    occ = (density_grid_c > density_threshold).astype(jnp.float32)
-    cdf = jnp.cumsum(occ)
-    total = cdf[-1]
-    u = jax.random.uniform(k2, (M,)) * jnp.maximum(total, 1.0)
-    idx_occ = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, G ** 3 - 1)
+    n_cells = G ** 3
+    idx_uniform = jax.random.randint(k1, (M,), 0, n_cells, jnp.int32)
+    occ = density_grid_c > density_threshold
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - occ.astype(jnp.int32)
+    total = rank[-1] + occ[-1].astype(jnp.int32)
+    occ_list = jnp.zeros((n_cells,), jnp.int32).at[
+        jnp.where(occ, rank, n_cells)].set(
+        jnp.arange(n_cells, dtype=jnp.int32), mode="drop")
+    u = jax.random.randint(k2, (M,), 0, jnp.maximum(total, 1), jnp.int32)
+    idx_occ = occ_list[jnp.clip(u, 0, n_cells - 1)]
     # if no occupied cells, fall back to uniform (reference keeps empty list)
     idx_occ = jnp.where(total > 0, idx_occ, idx_uniform).astype(jnp.int32)
     return jnp.concatenate([idx_uniform, idx_occ])
@@ -197,11 +219,14 @@ def make_update_density_grid(ngp, cfg: NGPConfig, chunk: int = 2 ** 18):
         )
         thr = jnp.minimum(mean_density, density_threshold)
         occ = (new_grid > thr).astype(jnp.uint8).reshape(C, G, G, G)
+        occ_rows, dil_rows = grid_rows(occ, C, G)
         return OccupancyGridState(
             density_grid=new_grid,
             count_grid=state.count_grid,
             occ_grid=occ,
             mean_density=mean_density,
+            occ_rows=occ_rows,
+            dil_rows=dil_rows,
         )
 
     return update_density_grid

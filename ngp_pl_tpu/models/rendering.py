@@ -107,6 +107,8 @@ def render_rays_train(
     pool_mult: Optional[int] = None,          # override rcfg.train_pool_mult
     chain_length: int = 0,                    # override the dt-chain bound
     n_intervals: int = 0,                     # >0: two-level segment march
+    occ_rows: Optional[jnp.ndarray] = None,   # precomputed packed z-lines
+    dil_rows: Optional[jnp.ndarray] = None,   # precomputed dilated z-lines
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable train-time render (reference rendering.py:121-163).
 
@@ -136,6 +138,8 @@ def render_rays_train(
             pool_size=pool_size,
             chain_length=chain,
             n_intervals=n_intervals,
+            occ_rows=occ_rows,
+            dil_rows=dil_rows,
         )
     else:
         m = march_rays_train(
@@ -151,6 +155,7 @@ def render_rays_train(
             max_samples=rcfg.max_samples,
             pool_size=pool_size,
             chain_length=chain,
+            occ_rows=occ_rows,
         )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)
@@ -172,6 +177,7 @@ def render_rays_train(
     out["rm_samples"] = m.total
     out["rm_counts"] = m.rm_counts
     out["chain_demand"] = m.chain_demand
+    out["chain_demand_q"] = m.chain_demand_q
     out["vr_samples"] = out["vr_samples"].sum()
     return out
 

@@ -133,27 +133,13 @@ _CORNERS = np.stack([(np.arange(8) >> 0) & 1, (np.arange(8) >> 1) & 1,
                      (np.arange(8) >> 2) & 1], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def hash_encode(
-    x: jnp.ndarray,
-    table: jnp.ndarray,
-    spec: HashGridSpec,
-) -> jnp.ndarray:
-    """Encode positions.
+def _slots_local_frac(x, spec: HashGridSpec):
+    """Per-(sample, level) GLOBAL table row + in-brick cell + cell fraction.
 
-    Args:
-      x: (N, 3) positions in [0, 1]^3 (caller normalizes by the scene box,
-         reference models/networks.py:103).
-      table: (total_rows, 64) parameter table.
-      spec: static grid geometry.
-
-    Returns:
-      (N, L*F) features, fp32.
-    """
-    N = x.shape[0]
-    L, F = spec.n_levels, spec.n_features
-    x = jnp.clip(x, 0.0, 1.0)
-
+    x must already be clipped to [0, 1]^3.  Returns
+    (slot (N, L) int32 global row ids, local (N, L, 3) int32 in {0, 1},
+    frac (N, L, 3) f32)."""
+    L = spec.n_levels
     res = jnp.asarray(spec.resolutions, jnp.float32)            # (L,)
     res_i = jnp.asarray(spec.resolutions, jnp.int32)
     bgrid = jnp.asarray(spec.brick_grids, jnp.int32)            # (L,)
@@ -179,48 +165,333 @@ def hash_encode(
     dense = ((brick[..., 0] * bgrid[None, :] + brick[..., 1])
              * bgrid[None, :] + brick[..., 2])
     slot = jnp.where(dense_mask[None, :], dense, hashed.astype(jnp.int32))
+    return slot + level_off[None, :], local, frac
 
-    # Gather per level from a static slice of the table.  The whole stacked
-    # table (~56 MB fp32) exceeds VMEM, and XLA's scatter-add (the backward
-    # of this gather) is ~2x slower against HBM-resident operands; slicing
-    # keeps each level's scatter target <= 4 MB (VMEM-resident fast path).
-    # The slice VJP (pad) is a cheap dense op.
-    rows = jnp.stack(
-        [table[spec.offsets[l]:spec.offsets[l] + spec.sizes[l]][slot[:, l]]
-         for l in range(L)],
-        axis=1,
-    )                                                           # (N, L, 64)
 
-    # Trilinear blend as one fused 64-lane expression.  The per-point weight
-    # factorizes per axis: point coordinate p in {0,1,2} gets weight
-    # (p == local) * (1 - frac) + (p == local + 1) * frac.  Each lane's point
-    # coordinates (cx, cy, cz) are compile-time constants, so the whole
-    # weight row is 12 elementwise ops on (N, L, 64) — no per-corner
-    # intermediates, everything 64-lane-minor.
-    W = spec.row_width
+# static per-lane point coordinates of the 64-wide brick row
+def _lane_consts(spec: HashGridSpec):
+    W, F = spec.row_width, spec.n_features
     lane_id = np.arange(W)
     p = np.minimum(lane_id // F, BRICK_PTS ** 3 - 1)
-    cx = jnp.asarray(p // 9, jnp.int32)                          # (64,)
+    cx = jnp.asarray(p // 9, jnp.int32)
     cy = jnp.asarray((p // 3) % 3, jnp.int32)
     cz = jnp.asarray(p % 3, jnp.int32)
-
-    def axis_w(c_lane, local_a, frac_a):
-        # (N, L, 1) local/frac vs (64,) lane constants
-        return ((c_lane[None, None, :] == local_a[..., None])
-                * (1.0 - frac_a[..., None])
-                + (c_lane[None, None, :] == local_a[..., None] + 1)
-                * frac_a[..., None])
-
     lane_valid = jnp.asarray(lane_id < BRICK_PTS ** 3 * F, jnp.float32)
-    wrow = (axis_w(cx, local[..., 0], frac[..., 0])
-            * axis_w(cy, local[..., 1], frac[..., 1])
-            * axis_w(cz, local[..., 2], frac[..., 2])
-            * lane_valid[None, None, :])                        # (N, L, 64)
+    lane_f = np.asarray(lane_id % F, np.int32)
+    return cx, cy, cz, lane_valid, lane_f
+
+
+def _axis_w(c_lane, local_a, frac_a):
+    # (N, L, 1) local/frac vs (W,) lane constants
+    return ((c_lane[None, None, :] == local_a[..., None])
+            * (1.0 - frac_a[..., None])
+            + (c_lane[None, None, :] == local_a[..., None] + 1)
+            * frac_a[..., None])
+
+
+def _axis_dw(c_lane, local_a):
+    # d axis_w / d frac_a  (lane constant +-1/0 pattern)
+    return ((c_lane[None, None, :] == local_a[..., None] + 1).astype(jnp.float32)
+            - (c_lane[None, None, :] == local_a[..., None]))
+
+
+def _wrow(local, frac, spec: HashGridSpec):
+    """(N, L, W) trilinear lane weights.
+
+    The per-point weight factorizes per axis: point coordinate p in {0,1,2}
+    gets weight (p == local)(1-frac) + (p == local+1)frac; lane point coords
+    are compile-time constants, so this is ~12 fused elementwise ops."""
+    cx, cy, cz, lane_valid, _ = _lane_consts(spec)
+    return (_axis_w(cx, local[..., 0], frac[..., 0])
+            * _axis_w(cy, local[..., 1], frac[..., 1])
+            * _axis_w(cz, local[..., 2], frac[..., 2])
+            * lane_valid[None, None, :])
+
+
+def _feats_from_rows(rows, wrow, spec: HashGridSpec):
+    N = rows.shape[0]
+    L, F = spec.n_levels, spec.n_features
+    _, _, _, _, lane_f = _lane_consts(spec)
     prod = rows.astype(jnp.float32) * wrow
-    lane_f = jnp.asarray(lane_id % F, jnp.int32)
-    feats = [jnp.sum(prod * (lane_f == f)[None, None, :], axis=-1)
+    feats = [jnp.sum(prod * jnp.asarray(lane_f == f, jnp.float32)[None, None, :],
+                     axis=-1)
              for f in range(F)]                                 # F x (N, L)
     return jnp.stack(feats, axis=-1).reshape(N, L * F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _hash_encode_cv(spec: HashGridSpec, need_x_grad: bool, x, table):
+    rows, wrow, _, _ = _encode_fwd_parts(spec, x, table)
+    return _feats_from_rows(rows, wrow, spec)
+
+
+def _encode_fwd_parts(spec, x, table):
+    N = x.shape[0]
+    L = spec.n_levels
+    W = spec.row_width
+    xc = jnp.clip(x, 0.0, 1.0)
+    slot, local, frac = _slots_local_frac(xc, spec)
+    # ONE merged gather for all levels: a deep gather queue hides the random
+    # HBM row latency far better than L separate per-level gathers
+    rows = table[slot.reshape(-1)].reshape(N, L, W)
+    wrow = _wrow(local, frac, spec)
+    return rows, wrow, slot, frac
+
+
+def _hash_encode_fwd(spec, need_x_grad, x, table):
+    rows, wrow, slot, _ = _encode_fwd_parts(spec, x, table)
+    out = _feats_from_rows(rows, wrow, spec)
+    # residuals: x is recomputed into (local, frac); rows are re-gathered only
+    # if position gradients are needed (pose refinement)
+    return out, (x, slot, table if need_x_grad else None)
+
+
+def _hash_encode_bwd(spec, need_x_grad, res, g):
+    x, slot, table = res
+    N = x.shape[0]
+    L, F = spec.n_levels, spec.n_features
+    W = spec.row_width
+    xc = jnp.clip(x, 0.0, 1.0)
+    _, local, frac = _slots_local_frac(xc, spec)
+    wrow = _wrow(local, frac, spec)
+    _, _, _, lane_valid, lane_f = _lane_consts(spec)
+
+    g3 = g.reshape(N, L, F)
+    g_lane = jnp.tile(g3, (1, 1, W // F))                       # (N, L, W): lane_f == lane % F
+    d_rows = wrow * g_lane                                      # (N, L, W)
+
+    # per-level scatter-adds: each target slice stays <= 4 MB (scatter rate
+    # degrades ~2x against large HBM-resident targets, measured)
+    parts = []
+    for l in range(L):
+        parts.append(
+            jnp.zeros((spec.sizes[l], W), jnp.float32)
+            .at[slot[:, l] - spec.offsets[l]].add(d_rows[:, l]))
+    d_table = jnp.concatenate(parts, axis=0)
+
+    if need_x_grad:
+        rows = table[slot.reshape(-1)].reshape(N, L, W).astype(jnp.float32)
+        cx, cy, cz, _, _ = _lane_consts(spec)
+        rg = rows * g_lane * lane_valid[None, None, :]
+        wx = _axis_w(cx, local[..., 0], frac[..., 0])
+        wy = _axis_w(cy, local[..., 1], frac[..., 1])
+        wz = _axis_w(cz, local[..., 2], frac[..., 2])
+        dwx = _axis_dw(cx, local[..., 0])
+        dwy = _axis_dw(cy, local[..., 1])
+        dwz = _axis_dw(cz, local[..., 2])
+        d_frac = jnp.stack([
+            jnp.sum(rg * dwx * wy * wz, axis=-1),
+            jnp.sum(rg * wx * dwy * wz, axis=-1),
+            jnp.sum(rg * wx * wy * dwz, axis=-1),
+        ], axis=-1)                                             # (N, L, 3)
+        res_f = jnp.asarray(spec.resolutions, jnp.float32)
+        in_box = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)    # clip VJP
+        d_x = jnp.sum(d_frac * res_f[None, :, None], axis=1) * in_box
+    else:
+        d_x = jnp.zeros_like(x)
+    return d_x, d_table
+
+
+_hash_encode_cv.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused level-major encode + first dense layer — the model's hot path.
+#
+# Three measured TPU effects motivate this form (all on a v5e):
+#   1. level-major gather order (all of level 0's rows, then level 1's, ...)
+#      runs ~1.5x faster than sample-major (2.9 vs 4.3 ns/row): consecutive
+#      indices point into one table region.
+#   2. materializing the (N, L, 64) gathered-rows tensor and reducing it to
+#      (N, L*F) features costs more than the gather itself (~40 ms at
+#      N=262144); contracting rows directly against the first MLP layer with
+#      one multi-dim dot_general keeps everything inside a single
+#      gather->multiply->MXU pipeline (16 ms total, 3.7x faster).
+#   3. the backward's table scatter must stay per-level (<=4 MB targets
+#      scatter at 6.7 ns/row vs 14.7 into the whole table), which plain
+#      autodiff of a merged gather would not do — hence custom_vjp.
+#
+# enc @ W1 is linear, so fusing W1 into the reduction is mathematically
+# identical to hash_encode followed by the first matmul (reference
+# tinycudann fuses encoding+MLP the same way, networks.py:36-56).
+# ---------------------------------------------------------------------------
+
+
+def _slots_local_frac_lm(x, spec: HashGridSpec):
+    """Level-major variant: (L, N) slot, (L, N, 3) local, (L, N, 3) frac."""
+    res = jnp.asarray(spec.resolutions, jnp.float32)
+    res_i = jnp.asarray(spec.resolutions, jnp.int32)
+    bgrid = jnp.asarray(spec.brick_grids, jnp.int32)
+    level_off = jnp.asarray(spec.offsets, jnp.int32)
+    level_size = jnp.asarray(spec.sizes, jnp.uint32)
+    L = spec.n_levels
+    dense_mask = jnp.asarray(
+        [spec.sizes[l] == spec.brick_grids[l] ** 3 for l in range(L)])
+
+    pos = x[None, :, :] * res[:, None, None]                    # (L, N, 3)
+    cell = jnp.floor(pos)
+    frac = (pos - cell).astype(jnp.float32)
+    cell = jnp.clip(cell.astype(jnp.int32), 0, res_i[:, None, None] - 1)
+    brick = cell >> 1
+    local = cell & 1
+    bu = brick.astype(jnp.uint32)
+    hashed = (
+        bu[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ bu[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ bu[..., 2] * jnp.uint32(_PRIMES[2])
+    ) % level_size[:, None]
+    dense = ((brick[..., 0] * bgrid[:, None] + brick[..., 1])
+             * bgrid[:, None] + brick[..., 2])
+    slot = jnp.where(dense_mask[:, None], dense, hashed.astype(jnp.int32))
+    return slot + level_off[:, None], local, frac
+
+
+def _wrow_lm(local, frac, spec: HashGridSpec):
+    """(L, N, W) trilinear lane weights (axis helpers are shape-agnostic)."""
+    cx, cy, cz, lane_valid, _ = _lane_consts(spec)
+    return (_axis_w(cx, local[..., 0], frac[..., 0])
+            * _axis_w(cy, local[..., 1], frac[..., 1])
+            * _axis_w(cz, local[..., 2], frac[..., 2])
+            * lane_valid[None, None, :])
+
+
+def expand_w1(w1: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """(L*F, H) first-layer weight -> (L, W, H) per-lane form.
+
+    Lane `lane` of level l carries feature `lane % F` of level l, so its
+    weight row is w1[l*F + lane%F].  Static-index gather: differentiable,
+    and its VJP (a static scatter-add over 32 rows) is negligible."""
+    L, F, W = spec.n_levels, spec.n_features, spec.row_width
+    idx = np.arange(L)[:, None] * F + (np.arange(W) % F)[None, :]   # (L, W)
+    return w1[jnp.asarray(idx.reshape(-1))].reshape(L, W, w1.shape[-1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _encode_mlp_cv(spec: HashGridSpec, need_x_grad: bool, x, table, w1big):
+    out, _ = _encode_mlp_fwd_impl(spec, x, table, w1big)
+    return out
+
+
+def _encode_mlp_fwd_impl(spec, x, table, w1big):
+    N = x.shape[0]
+    L, W = spec.n_levels, spec.row_width
+    xc = jnp.clip(x, 0.0, 1.0)
+    slot, local, frac = _slots_local_frac_lm(xc, spec)
+    rows = table[slot.reshape(-1)].reshape(L, N, W)
+    wrow = _wrow_lm(local, frac, spec)
+    wr = (rows.astype(jnp.float32) * wrow).astype(jnp.bfloat16)    # (L, N, W)
+    h1 = jax.lax.dot_general(
+        wr, w1big.astype(jnp.bfloat16),
+        dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                              # (N, H)
+    return h1, (slot, wr, rows)
+
+
+def _encode_mlp_fwd(spec, need_x_grad, x, table, w1big):
+    out, (slot, wr, rows) = _encode_mlp_fwd_impl(spec, x, table, w1big)
+    return out, (x, slot, wr, w1big, rows if need_x_grad else None)
+
+
+def _encode_mlp_bwd(spec, need_x_grad, res, g):
+    x, slot, wr, w1big, rows = res
+    N = x.shape[0]
+    L, W = spec.n_levels, spec.row_width
+    g16 = g.astype(jnp.bfloat16)                                   # (N, H)
+
+    # dL/dw1big: contract (L, N, W) x (N, H) over N -> (L, W, H)
+    d_w1big = jax.lax.dot_general(
+        wr, g16, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # dL/dwr: (N, H) x (L, W, H) over H -> (N, L, W)
+    d_wr = jax.lax.dot_general(
+        g16, w1big.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # (N, L, W)
+
+    xc = jnp.clip(x, 0.0, 1.0)
+    _, local, frac = _slots_local_frac_lm(xc, spec)
+    wrow = _wrow_lm(local, frac, spec)                             # (L, N, W)
+
+    # per-level scatter-adds (each target slice <= 4 MB — fast scatter path)
+    parts = []
+    for l in range(L):
+        d_rows_l = d_wr[:, l, :] * wrow[l]                         # (N, W)
+        parts.append(
+            jnp.zeros((spec.sizes[l], W), jnp.float32)
+            .at[slot[l] - spec.offsets[l]].add(d_rows_l))
+    d_table = jnp.concatenate(parts, axis=0)
+
+    if need_x_grad:
+        cx, cy, cz, lane_valid, _ = _lane_consts(spec)
+        rg = (rows.astype(jnp.float32)
+              * jnp.moveaxis(d_wr, 0, 1) * lane_valid[None, None, :])
+        wx = _axis_w(cx, local[..., 0], frac[..., 0])
+        wy = _axis_w(cy, local[..., 1], frac[..., 1])
+        wz = _axis_w(cz, local[..., 2], frac[..., 2])
+        dwx = _axis_dw(cx, local[..., 0])
+        dwy = _axis_dw(cy, local[..., 1])
+        dwz = _axis_dw(cz, local[..., 2])
+        d_frac = jnp.stack([
+            jnp.sum(rg * dwx * wy * wz, axis=-1),
+            jnp.sum(rg * wx * dwy * wz, axis=-1),
+            jnp.sum(rg * wx * wy * dwz, axis=-1),
+        ], axis=-1)                                                # (L, N, 3)
+        res_f = jnp.asarray(spec.resolutions, jnp.float32)
+        in_box = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)
+        d_x = jnp.sum(d_frac * res_f[:, None, None], axis=0) * in_box
+    else:
+        d_x = jnp.zeros_like(x)
+    return d_x, d_table, d_w1big
+
+
+_encode_mlp_cv.defvjp(_encode_mlp_fwd, _encode_mlp_bwd)
+
+
+@partial(jax.jit, static_argnames=("spec", "need_x_grad"))
+def hash_encode_mlp(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    w1: jnp.ndarray,
+    spec: HashGridSpec,
+    need_x_grad: bool = True,
+) -> jnp.ndarray:
+    """Fused hash encoding + first dense layer.
+
+    Computes `hash_encode(x, table, spec) @ w1` as one level-major
+    gather->multiply->MXU contraction (see module comment above).
+
+    Args:
+      x: (N, 3) in [0, 1]^3.  table: (total_rows, W).  w1: (L*F, H).
+    Returns: (N, H) pre-activation, fp32.
+    """
+    w1big = expand_w1(w1, spec)
+    return _encode_mlp_cv(spec, bool(need_x_grad), x, table, w1big)
+
+
+@partial(jax.jit, static_argnames=("spec", "need_x_grad"))
+def hash_encode(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    spec: HashGridSpec,
+    need_x_grad: bool = True,
+) -> jnp.ndarray:
+    """Encode positions.
+
+    Args:
+      x: (N, 3) positions in [0, 1]^3 (caller normalizes by the scene box,
+         reference models/networks.py:103).
+      table: (total_rows, 64) parameter table.
+      spec: static grid geometry.
+      need_x_grad: False skips the position-gradient path in the backward
+        (one merged row re-gather + the trilinear-derivative math) — only
+        camera-pose refinement needs dL/dx (reference train.py:117-122).
+
+    Returns:
+      (N, L*F) features, fp32.
+    """
+    return _hash_encode_cv(spec, bool(need_x_grad), x, table)
 
 
 def hash_encode_pointwise(

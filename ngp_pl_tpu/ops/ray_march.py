@@ -52,6 +52,7 @@ class MarchResults(NamedTuple):
     total: jnp.ndarray     # () int32 total samples in the pool
     rm_counts: jnp.ndarray  # (N_rays,) samples found by marching (pre-clip)
     chain_demand: jnp.ndarray  # () int32 chain steps the batch actually needs
+    chain_demand_q: jnp.ndarray  # () int32 99th-pct per-ray chain-step need
 
 
 def calc_dt(t, exp_step_factor, max_samples, grid_size, scale):
@@ -331,6 +332,35 @@ def dilate_grid(occ_grid: jnp.ndarray) -> jnp.ndarray:
         (1, 3, 3, 3), (1, 1, 1, 1), "SAME")
 
 
+def dilate_lines(occ_rows: jnp.ndarray, cascades: int, grid_size: int
+                 ) -> jnp.ndarray:
+    """3x3x3 binary dilation directly on the bit-packed z-line rows.
+
+    Equivalent to `occupancy_lines(dilate_grid(grid))` but operates on the
+    packed (C*G*G, W) uint32 representation (64 KB for C=1, G=128) with ~10
+    elementwise OR/shift passes instead of a reduce_window over the 2M-cell
+    uint8 grid — separable dilation: z by word shifts with cross-word carries,
+    then y and x by row shifts."""
+    G = grid_size
+    W = occ_rows.shape[-1]
+    a = occ_rows
+    # z: bits within words + carries across word boundaries
+    hi = jnp.concatenate(   # bit 31 of word w-1 -> bit 0 of word w
+        [jnp.zeros_like(a[:, :1]), a[:, :-1] >> 31], axis=1)
+    lo = jnp.concatenate(   # bit 0 of word w+1 -> bit 31 of word w
+        [a[:, 1:] << 31, jnp.zeros_like(a[:, :1])], axis=1)
+    a = a | (a << 1) | hi | (a >> 1) | lo
+    # y: OR rows y-1, y, y+1
+    a = a.reshape(cascades * G, G, W)
+    a = a | jnp.concatenate([a[:, :1] & 0, a[:, :-1]], axis=1) \
+          | jnp.concatenate([a[:, 1:], a[:, :1] & 0], axis=1)
+    # x: OR rows x-1, x, x+1
+    a = a.reshape(cascades, G, G, W)
+    a = a | jnp.concatenate([a[:, :1] & 0, a[:, :-1]], axis=1) \
+          | jnp.concatenate([a[:, 1:], a[:, :1] & 0], axis=1)
+    return a.reshape(cascades * G * G, W)
+
+
 # fine chain steps per coarse interval.  The interval midpoint's dilated-grid
 # test covers +-(J-1)/2 * dt_min * |d_axis| of per-axis travel; with
 # dt_min = sqrt(3)/1024 and 128^3 cells this stays under one cell for
@@ -440,6 +470,7 @@ def march_rays_train(
     pool_size: int,
     chain_length: int = 0,
     skip_empty_span: bool = True,
+    occ_rows: jnp.ndarray | None = None,
 ) -> MarchResults:
     """March all rays through occupied space into a flat sample pool.
 
@@ -483,14 +514,18 @@ def march_rays_train(
 
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]   # (N, K, 3)
     mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
-    occ = occupancy_at_lines(occupancy_lines(occ_grid), mip, n, grid_size)
+    if occ_rows is None:
+        occ_rows = occupancy_lines(occ_grid)
+    occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
 
+    kk = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
+    per_ray_need = jnp.max(jnp.where(occ, kk, 0), axis=1)      # (N,)
+    chain_demand_q = _q99(per_ray_need)
     if chain_demand is None:
         # chain steps actually used: one past the last occupied step; K
         # itself signals possible truncation (the caller re-buckets up)
-        kk = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
-        chain_demand = jnp.max(jnp.where(occ, kk, 0)).astype(jnp.int32)
+        chain_demand = jnp.max(per_ray_need).astype(jnp.int32)
 
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
@@ -506,7 +541,20 @@ def march_rays_train(
         total=total,
         rm_counts=rm_counts,
         chain_demand=chain_demand,
+        chain_demand_q=chain_demand_q,
     )
+
+
+def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
+    """99th-percentile of a per-ray integer demand vector.
+
+    Budget feedback uses this instead of the batch max: one grazing outlier
+    ray would otherwise pin every static budget at its worst case.  Rays
+    above the 99th percentile get their chain tail truncated — samples that
+    sit behind ~hundreds of composited samples (T ~= 0)."""
+    n = per_ray_need.shape[0]
+    k = max(int(0.99 * n) - 1, 0)
+    return jnp.sort(per_ray_need)[k].astype(jnp.int32)
 
 
 @partial(
@@ -587,6 +635,7 @@ def march_rays_train_segments(
 
     count_A = occ_A.sum(axis=1)                                # (N,)
     interval_demand = count_A.max().astype(jnp.int32)
+    interval_demand_q = _q99(count_A)
 
     # --- select first M flagged intervals (front-to-back) ---------------
     keys = jnp.where(occ_A, -jnp.arange(K_A, dtype=jnp.int32)[None, :],
@@ -621,4 +670,5 @@ def march_rays_train_segments(
         total=total,
         rm_counts=rm_counts,
         chain_demand=(interval_demand * J).astype(jnp.int32),
+        chain_demand_q=(interval_demand_q * J).astype(jnp.int32),
     )

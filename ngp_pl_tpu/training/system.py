@@ -105,7 +105,13 @@ class NeRFSystem:
             params, grid = ckpt.load_slim_checkpoint(
                 tcfg.weight_path, params=self.state.params)
             self.state = self.state._replace(params=params)
-            self.grid_state = self.grid_state._replace(occ_grid=jnp.asarray(grid))
+            from ngp_pl_tpu.models.occupancy import grid_rows
+
+            occ = jnp.asarray(grid)
+            occ_rows, dil_rows = grid_rows(occ, self.cfg.cascades,
+                                           self.cfg.grid_size)
+            self.grid_state = self.grid_state._replace(
+                occ_grid=occ, occ_rows=occ_rows, dil_rows=dil_rows)
 
         self.poses = jnp.asarray(self.train_dataset.poses)
         self.directions = jnp.asarray(self.train_dataset.directions)
@@ -174,9 +180,10 @@ class NeRFSystem:
         k_a = -(-self.chain_full // SEGMENT_J)     # coarse intervals per ray
         self._interval_buckets = sorted({
             min(k_a, max(16, -(-int(k_a * f) // 8) * 8))
-            for f in (0.125, 0.25, 0.5, 1.0)})
+            for f in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)})
         self.n_intervals = self._interval_buckets[-1] if self.segment_march else 0
         self._interval_demand = float(self.n_intervals)
+        self._pending_demand = None   # async-prefetched demand vector
 
     # -- setup hooks ----------------------------------------------------
     def on_train_start(self):
@@ -221,51 +228,69 @@ class NeRFSystem:
             self.state, metrics = self.train_step.device_variant(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
-                self._pool_mult, self.chain_length, self.n_intervals)
+                self._pool_mult, self.chain_length, self.n_intervals,
+                occ_rows=self.grid_state.occ_rows,
+                dil_rows=self.grid_state.dil_rows)
         else:
             if batch is None:
                 batch = self.sample_batch()
             self.state, metrics = self.train_step(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, batch, self.key, self._pool_mult,
-                self.chain_length, self.n_intervals)
+                self.chain_length, self.n_intervals,
+                occ_rows=self.grid_state.occ_rows,
+                dil_rows=self.grid_state.dil_rows)
         self._host_step = step_i + 1
-        # re-bucket pool + chain from observed demand every update interval
+        # re-bucket pool + chain from observed demand every update interval.
+        # The demand vector is prefetched async and consumed one interval
+        # LATE: budget feedback tolerates 16-step-stale signals, and reading
+        # a ready buffer avoids stalling the dispatch pipeline on a
+        # device->host round trip.
         if (step_i + 1) % self.tcfg.grid_update_interval == 0:
-            B = self.tcfg.batch_size
-            used = float(metrics["rm_samples"]) / B
-            overflow = float(metrics["rm_samples"]) >= 0.98 * B * self._pool_mult
-            self._pool_demand = max(0.8 * self._pool_demand,
-                                    used * (4.0 if overflow else 1.5))
-            for m in self._pool_buckets:
-                if m >= self._pool_demand:
-                    self._pool_mult = m
-                    break
-            else:
-                self._pool_mult = self._pool_buckets[-1]
-            if self.segment_march:
-                # chain_demand is interval_demand * J on this path
-                need = float(metrics["chain_demand"]) / self._seg_j
-                trunc = need >= self.n_intervals
-                self._interval_demand = max(0.9 * self._interval_demand,
-                                            need * (2.0 if trunc else 1.2))
-                for m in self._interval_buckets:
-                    if m >= self._interval_demand:
-                        self.n_intervals = m
+            dv = metrics["demand_vec"]
+            try:
+                dv.copy_to_host_async()
+            except Exception:
+                pass
+            prev, self._pending_demand = self._pending_demand, dv
+            if prev is not None:
+                import numpy as _np
+
+                rm, chain_max, chain_q = (float(v) for v in _np.asarray(prev))
+                B = self.tcfg.batch_size
+                used = rm / B
+                overflow = rm >= 0.98 * B * self._pool_mult
+                self._pool_demand = max(0.8 * self._pool_demand,
+                                        used * (4.0 if overflow else 1.5))
+                for m in self._pool_buckets:
+                    if m >= self._pool_demand:
+                        self._pool_mult = m
                         break
                 else:
-                    self.n_intervals = self._interval_buckets[-1]
-            else:
-                need = float(metrics["chain_demand"])
-                trunc = need >= self.chain_length  # demand hit the cap
-                self._chain_demand = max(0.9 * self._chain_demand,
-                                         need * (2.0 if trunc else 1.2))
-                for c in self._chain_buckets:
-                    if c >= self._chain_demand:
-                        self.chain_length = c
-                        break
+                    self._pool_mult = self._pool_buckets[-1]
+                if self.segment_march:
+                    # demands are interval counts * J on this path; the q99
+                    # budget trades <=1% of rays' chain tails (behind T~=0)
+                    # for a 3-5x smaller static level-B march
+                    need = chain_q / self._seg_j
+                    self._interval_demand = max(0.9 * self._interval_demand,
+                                                need * 1.3)
+                    for m in self._interval_buckets:
+                        if m >= self._interval_demand:
+                            self.n_intervals = m
+                            break
+                    else:
+                        self.n_intervals = self._interval_buckets[-1]
                 else:
-                    self.chain_length = self._chain_buckets[-1]
+                    need = chain_q
+                    self._chain_demand = max(0.9 * self._chain_demand,
+                                             need * 1.2)
+                    for c in self._chain_buckets:
+                        if c >= self._chain_demand:
+                            self.chain_length = c
+                            break
+                    else:
+                        self.chain_length = self._chain_buckets[-1]
         return metrics
 
     def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,
@@ -277,7 +302,8 @@ class NeRFSystem:
         for i in range(max_steps):
             metrics = self.step()
             if (i + 1) % log_every == 0 or i == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in metrics.items()
+                     if getattr(v, "ndim", 0) == 0}
                 m["step"] = int(self.state.step)
                 m["rays_per_s"] = (
                     self.tcfg.batch_size * (i + 1) / (time.time() - t0))

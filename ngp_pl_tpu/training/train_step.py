@@ -98,8 +98,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
     use_pose = tcfg.optimize_ext
     use_exposure = tcfg.use_exposure
 
-    def loss_fn(trainable, occ_grid, poses_all, directions, batch, key,
-                pool_mult, chain_length, n_intervals):
+    def loss_fn(trainable, occ_grid, occ_rows, dil_rows, poses_all,
+                directions, batch, key, pool_mult, chain_length, n_intervals):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -125,7 +125,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         results = render_rays_train(
             ngp, params, occ_grid, rays_o, rays_d, noise, bg,
             rcfg=rcfg, exposure=exposure, pool_mult=pool_mult,
-            chain_length=chain_length, n_intervals=n_intervals)
+            chain_length=chain_length, n_intervals=n_intervals,
+            occ_rows=occ_rows, dil_rows=dil_rows)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -151,18 +152,20 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "vr_samples": results["vr_samples"],
             "rm_counts_max": results["rm_counts"].max(),
             "chain_demand": results["chain_demand"],
+            "chain_demand_q": results["chain_demand_q"],
         }
         return loss, aux
 
-    def _step_core(state, occ_grid, poses_all, directions, batch, key,
-                   pool_mult, chain_length, n_intervals):
+    def _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
+                   directions, batch, key, pool_mult, chain_length,
+                   n_intervals):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, occ_grid, poses_all, directions, batch, key,
-            pool_mult or None, chain_length, n_intervals)
+            trainable, occ_grid, occ_rows, dil_rows, poses_all, directions,
+            batch, key, pool_mult or None, chain_length, n_intervals)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
@@ -178,6 +181,14 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "vr_samples": aux["vr_samples"],
             "rm_counts_max": aux["rm_counts_max"],
             "chain_demand": aux["chain_demand"],
+            "chain_demand_q": aux["chain_demand_q"],
+            # one packed vector so the host's budget feedback costs a single
+            # (async-prefetched) transfer instead of one RT per scalar
+            "demand_vec": jnp.stack([
+                aux["rm_samples"].astype(jnp.float32),
+                aux["chain_demand"].astype(jnp.float32),
+                aux["chain_demand_q"].astype(jnp.float32),
+            ]),
         }
         return (
             TrainState(params=params, pose_params=pose_params,
@@ -189,17 +200,19 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
              static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
                    key, pool_mult: int = 0, chain_length: int = 0,
-                   n_intervals: int = 0
+                   n_intervals: int = 0, occ_rows=None, dil_rows=None
                    ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(key, state.step)
-        return _step_core(state, occ_grid, poses_all, directions, batch, key,
-                          pool_mult, chain_length, n_intervals)
+        return _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
+                          directions, batch, key, pool_mult, chain_length,
+                          n_intervals)
 
     @partial(jax.jit,
              static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step_device(state: TrainState, occ_grid, poses_all, directions,
                           rays_store, key, pool_mult: int = 0,
-                          chain_length: int = 0, n_intervals: int = 0
+                          chain_length: int = 0, n_intervals: int = 0,
+                          occ_rows=None, dil_rows=None
                           ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Fully on-device step: batch sampling happens INSIDE the program.
 
@@ -230,8 +243,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                  "rgb": payload[:, :3]}
         if use_exposure and rays_store.shape[-1] >= 4:
             batch["exposure"] = payload[:, 3:4]
-        return _step_core(state, occ_grid, poses_all, directions, batch, key,
-                          pool_mult, chain_length, n_intervals)
+        return _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
+                          directions, batch, key, pool_mult, chain_length,
+                          n_intervals)
 
     train_step.device_variant = train_step_device
     return train_step

@@ -317,3 +317,37 @@ def test_segment_march_truncation_and_demand():
     np.testing.assert_allclose(ts[ridx == 0][0], 1.5, atol=1e-6)
     dt_min = SQRT3 / 1024
     np.testing.assert_allclose(np.diff(ts[ridx == 0]), dt_min, atol=1e-6)
+
+
+def test_dilate_lines_matches_dilate_grid():
+    """Bitwise packed dilation == reduce_window dilation + packing."""
+    import jax
+    from ngp_pl_tpu.ops.ray_march import (dilate_grid, dilate_lines,
+                                          occupancy_lines)
+
+    k = jax.random.PRNGKey(3)
+    for C, G in ((1, 64), (2, 32)):
+        occ = (jax.random.uniform(k, (C, G, G, G)) < 0.05).astype(jnp.uint8)
+        ref = occupancy_lines(dilate_grid(occ))
+        got = dilate_lines(occupancy_lines(occ), C, G)
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_march_precomputed_rows_identical():
+    """march_rays_train with precomputed occ_rows == recomputed-inside."""
+    from ngp_pl_tpu.ops.ray_march import march_rays_train, occupancy_lines
+
+    k = jax.random.PRNGKey(4)
+    N, G = 64, 32
+    occ = (jax.random.uniform(k, (1, G, G, G)) < 0.2).astype(jnp.uint8)
+    rays_o = jnp.tile(jnp.asarray([[-1.0, 0.05, 0.03]]), (N, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (N, 1))
+    hits = jnp.tile(jnp.asarray([[0.5, 1.5]]), (N, 1))
+    noise = jnp.linspace(0, 1, N)
+    kw = dict(cascades=1, scale=0.5, exp_step_factor=0.0, grid_size=G,
+              max_samples=256, pool_size=N * 16, chain_length=256)
+    a = march_rays_train(rays_o, rays_d, hits, occ, noise, **kw)
+    b = march_rays_train(rays_o, rays_d, hits, occ, noise,
+                         occ_rows=occupancy_lines(occ), **kw)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
