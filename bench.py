@@ -67,6 +67,13 @@ def main():
             t_w = time.time()
     fence(m)
 
+    # pin the jit variants: a demand blip flipping a pool/chain bucket would
+    # otherwise compile a fresh XLA program inside the timed window
+    system.freeze_buckets = True
+    for i in range(16):
+        m = system.step()
+    fence(m)
+
     t0 = time.time()
     for i in range(steps_meas):
         m = system.step()

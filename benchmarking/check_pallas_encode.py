@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Validate + time the Pallas fused encode against the XLA path on device."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ngp_pl_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_pl_tpu.ops.hash_encoding import (
+    _encode_mlp_cv, _encode_mlp_pl_cv, _pick_bn, expand_w1, init_hash_table,
+    make_grid_spec)
+
+
+def fence(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def timeit(name, fn, *args, n=20):
+    for _ in range(3):
+        out = fn(*args)
+    fence(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    fence(out)
+    print(f"{name:44s} {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
+
+
+def main():
+    spec = make_grid_spec()
+    key = jax.random.PRNGKey(0)
+    table = init_hash_table(key, spec) * 1e4   # O(1) values
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (spec.out_dim, 64)) * 0.2
+    w1big = expand_w1(w1, spec)
+
+    # --- correctness at N=4096 ---
+    N = 4096
+    x = jax.random.uniform(jax.random.PRNGKey(2), (N, 3))
+    bn = _pick_bn(N)
+
+    h_ref = np.asarray(_encode_mlp_cv(spec, False, x, table, w1big))
+    h_pl = np.asarray(_encode_mlp_pl_cv(spec, bn, x, table, w1big))
+    err = np.abs(h_ref - h_pl).max() / (np.abs(h_ref).max() + 1e-9)
+    print(f"fwd rel err: {err:.2e}", flush=True)
+    assert err < 1e-2, err
+
+    g = jax.random.normal(jax.random.PRNGKey(3), (N, 64))
+
+    def loss_ref(t, w):
+        return (_encode_mlp_cv(spec, False, x, t, w) * g).sum()
+
+    def loss_pl(t, w):
+        return (_encode_mlp_pl_cv(spec, bn, x, t, w) * g).sum()
+
+    gt_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(table, w1big)
+    gt_p, gw_p = jax.grad(loss_pl, argnums=(0, 1))(table, w1big)
+    e_t = np.abs(np.asarray(gt_r - gt_p)).max() / (
+        np.abs(np.asarray(gt_r)).max() + 1e-9)
+    e_w = np.abs(np.asarray(gw_r - gw_p)).max() / (
+        np.abs(np.asarray(gw_r)).max() + 1e-9)
+    print(f"bwd rel err: d_table {e_t:.2e}  d_w1big {e_w:.2e}", flush=True)
+    assert e_t < 1e-2 and e_w < 1e-2, (e_t, e_w)
+
+    # --- timing at bench pool size ---
+    N = 262144
+    x = jax.random.uniform(jax.random.PRNGKey(4), (N, 3))
+    bn = _pick_bn(N)
+
+    f_ref = jax.jit(lambda t, w: _encode_mlp_cv(spec, False, x, t, w).sum())
+    f_pl = jax.jit(lambda t, w: _encode_mlp_pl_cv(spec, bn, x, t, w).sum())
+    timeit("XLA fwd", f_ref, table, w1big)
+    timeit("Pallas fwd", f_pl, table, w1big)
+
+    gbig = jax.random.normal(jax.random.PRNGKey(5), (N, 64))
+    g_ref = jax.jit(jax.grad(
+        lambda t, w: (_encode_mlp_cv(spec, False, x, t, w) * gbig).sum(),
+        argnums=(0, 1)))
+    g_pl = jax.jit(jax.grad(
+        lambda t, w: (_encode_mlp_pl_cv(spec, bn, x, t, w) * gbig).sum(),
+        argnums=(0, 1)))
+    timeit("XLA fwd+bwd", g_ref, table, w1big)
+    timeit("Pallas fwd+bwd", g_pl, table, w1big)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,9 +93,14 @@ def init_ngp_params(key, cfg: NGPConfig) -> Params:
 class NGP:
     """Stateless functional wrapper bundling config + static grid spec."""
 
-    def __init__(self, cfg: NGPConfig):
+    def __init__(self, cfg: NGPConfig, need_x_grad: bool = True):
+        """need_x_grad: False drops the position-gradient path from the hash
+        encoder's backward (rows re-gather + trilinear derivatives, ~40% of
+        the field backward) — only camera-pose refinement consumes dL/dx
+        (reference train.py:117-122), so trainers pass optimize_ext here."""
         self.cfg = cfg
         self.spec = grid_spec_for(cfg)
+        self.need_x_grad = need_x_grad
         self.dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" else jnp.float32
 
     def init(self, key) -> Params:
@@ -112,7 +117,8 @@ class NGP:
         cfg = self.cfg
         xn = (x + cfg.scale) / (2.0 * cfg.scale)            # -> [0, 1]
         h1 = hash_encode_mlp(xn, params["hash_table"],
-                             params["sigma_mlp"][0], self.spec)
+                             params["sigma_mlp"][0], self.spec,
+                             need_x_grad=self.need_x_grad)
         h = _mlp_apply(params["sigma_mlp"][1:], jax.nn.relu(h1), self.dtype)
         sigma = trunc_exp(h[:, 0])
         if return_feat:

@@ -449,6 +449,80 @@ def _encode_mlp_bwd(spec, need_x_grad, res, g):
 _encode_mlp_cv.defvjp(_encode_mlp_fwd, _encode_mlp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pallas-fused variant (TPU): the gather stays in XLA, but the trilinear
+# lane-weight product and the first-layer contraction run in one VMEM-resident
+# kernel (ops/hash_encoding_pallas.py) instead of materializing (L, N, 64)
+# HBM intermediates.  Used when position gradients are not needed (the
+# x-grad path keeps the XLA implementation above).
+# ---------------------------------------------------------------------------
+
+
+def _meta_p(local, frac):
+    """(L, N, 3) local/frac -> (L, N, 4) p = local + frac, lane-padded."""
+    p = local.astype(jnp.float32) + frac
+    return jnp.concatenate([p, jnp.zeros_like(p[..., :1])], axis=-1)
+
+
+def _pick_bn(n: int) -> int:
+    for bn in (2048, 1024, 512, 256, 128):
+        if n % bn == 0:
+            return bn
+    return 0
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _encode_mlp_pl_cv(spec: HashGridSpec, bn: int, x, table, w1big):
+    out, _ = _encode_mlp_pl_fwd(spec, bn, x, table, w1big)
+    return out
+
+
+def _encode_mlp_pl_fwd(spec, bn, x, table, w1big):
+    from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_fwd_pallas
+
+    N = x.shape[0]
+    L, W = spec.n_levels, spec.row_width
+    xc = jnp.clip(x, 0.0, 1.0)
+    slot, local, frac = _slots_local_frac_lm(xc, spec)
+    meta = _meta_p(local, frac)
+    rows = table[slot.reshape(-1)].reshape(L, N, W)
+    h1, wr = encode_mlp_fwd_pallas(rows, meta, w1big,
+                                   F=spec.n_features, bn=bn)
+    return h1, (slot, meta, wr, w1big)
+
+
+def _encode_mlp_pl_bwd(spec, bn, res, g):
+    from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_bwd_pallas
+
+    slot, meta, wr, w1big = res
+    L, W = spec.n_levels, spec.row_width
+
+    # dL/dw1big: contract (L, N, W) x (N, H) over N -> (L, W, H)
+    d_w1big = jax.lax.dot_general(
+        wr, g.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    d_rows = encode_mlp_bwd_pallas(meta, w1big, g, F=spec.n_features, bn=bn)
+
+    # per-level scatter-adds (each target slice <= 4 MB — fast scatter path)
+    parts = []
+    for l in range(L):
+        parts.append(
+            jnp.zeros((spec.sizes[l], W), jnp.float32)
+            .at[slot[l] - spec.offsets[l]].add(d_rows[l]))
+    d_table = jnp.concatenate(parts, axis=0)
+    d_x = jnp.zeros(meta.shape[1:2] + (3,), jnp.float32)
+    return d_x, d_table, d_w1big
+
+
+_encode_mlp_pl_cv.defvjp(_encode_mlp_pl_fwd, _encode_mlp_pl_bwd)
+
+
+def _pallas_available() -> bool:
+    return jax.default_backend() != "cpu"
+
+
 @partial(jax.jit, static_argnames=("spec", "need_x_grad"))
 def hash_encode_mlp(
     x: jnp.ndarray,
@@ -467,6 +541,9 @@ def hash_encode_mlp(
     Returns: (N, H) pre-activation, fp32.
     """
     w1big = expand_w1(w1, spec)
+    bn = _pick_bn(x.shape[0])
+    if not need_x_grad and bn and _pallas_available():
+        return _encode_mlp_pl_cv(spec, bn, x, table, w1big)
     return _encode_mlp_cv(spec, bool(need_x_grad), x, table, w1big)
 
 

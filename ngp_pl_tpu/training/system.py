@@ -67,7 +67,8 @@ class NeRFSystem:
         self.train_dataset.ray_sampling_strategy = tcfg.ray_sampling_strategy
         self.test_dataset = test_dataset or dataset_cls(split="test", **kwargs)
 
-        self.ngp = NGP(self.cfg)
+        # dL/dx through the encoder is only needed for pose refinement
+        self.ngp = NGP(self.cfg, need_x_grad=tcfg.optimize_ext)
         self.grid_state = init_grid_state(self.cfg)
         self.update_density_grid = make_update_density_grid(self.ngp, self.cfg)
         unit_exp = getattr(self.train_dataset, "unit_exposure_rgb", 0.5)
@@ -184,6 +185,10 @@ class NeRFSystem:
         self.n_intervals = self._interval_buckets[-1] if self.segment_march else 0
         self._interval_demand = float(self.n_intervals)
         self._pending_demand = None   # async-prefetched demand vector
+        # True pins pool/chain/interval buckets at their current values —
+        # benchmarks set this after warmup so a demand blip cannot trigger a
+        # fresh XLA variant compile inside a timed window
+        self.freeze_buckets = False
 
     # -- setup hooks ----------------------------------------------------
     def on_train_start(self):
@@ -246,7 +251,8 @@ class NeRFSystem:
         # LATE: budget feedback tolerates 16-step-stale signals, and reading
         # a ready buffer avoids stalling the dispatch pipeline on a
         # device->host round trip.
-        if (step_i + 1) % self.tcfg.grid_update_interval == 0:
+        if (step_i + 1) % self.tcfg.grid_update_interval == 0 \
+                and not self.freeze_buckets:
             dv = metrics["demand_vec"]
             try:
                 dv.copy_to_host_async()
