@@ -110,6 +110,13 @@ class TrainConfig:
     # model (opt.py:18-22)
     scale: float = 0.5
     use_exposure: bool = False
+    # hash-table geometry (reference hard-codes L=16 F=2 T=2^19,
+    # networks.py:32-56).  (L=8, F=4) is the TPU-preferred equal-budget
+    # variant: 108-float brick rows fill one native 128-lane tile, halving
+    # the per-sample gather/scatter row count of the encoder
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
     # loss (opt.py:24-29, losses.py:42-45)
     distortion_loss_w: float = 0.0
     opacity_loss_w: float = 1e-3
@@ -156,6 +163,9 @@ class TrainConfig:
         return NGPConfig(
             scale=self.scale,
             rgb_act="None" if self.use_exposure else "Sigmoid",
+            n_levels=self.n_levels,
+            n_features_per_level=self.n_features,
+            log2_hashmap_size=self.log2_hashmap_size,
         )
 
     def render_config(self) -> RenderConfig:
@@ -177,6 +187,13 @@ def add_train_args(parser) -> None:
     parser.add_argument("--downsample", type=float, default=d.downsample)
     parser.add_argument("--scale", type=float, default=d.scale)
     parser.add_argument("--use_exposure", action="store_true")
+    parser.add_argument("--n_levels", type=int, default=d.n_levels,
+                        help="hash-encoding levels L (reference: 16)")
+    parser.add_argument("--n_features", type=int, default=d.n_features,
+                        help="features per level F in {2, 4}; (L=8, F=4) is "
+                             "the TPU-native equal-budget variant")
+    parser.add_argument("--log2_hashmap_size", type=int,
+                        default=d.log2_hashmap_size)
     parser.add_argument("--distortion_loss_w", type=float, default=d.distortion_loss_w)
     parser.add_argument("--batch_size", type=int, default=d.batch_size)
     parser.add_argument("--ray_sampling_strategy", type=str,

@@ -49,7 +49,8 @@ _PRIMES = (1, 2654435761, 805459861)
 
 BRICK_CELLS = 2          # cells per brick edge
 BRICK_PTS = BRICK_CELLS + 1   # corner points per edge (3x3x3 = 27)
-ROW_PAD = 64             # padded row width (27 pts * F=2 -> 54 -> 64)
+ROW_PAD = 64             # padded row width for F=2 (27 pts * 2 -> 54 -> 64);
+                         # F=4 rows pad 108 -> 128 (one native TPU tile row)
 
 
 @dataclass(frozen=True)
@@ -84,9 +85,13 @@ def make_grid_spec(
 ) -> HashGridSpec:
     """log2_hashmap_size is the reference's corner-entry budget (T=2^19);
     the equivalent brick budget is S = T / 27 rounded to a power of two
-    (2^19 -> 2^14) unless log2_bricks overrides it."""
-    if n_features != 2:
-        raise NotImplementedError("brick layout is tuned for F=2")
+    (2^19 -> 2^14) unless log2_bricks overrides it.
+
+    F=2 rows are 54 floats padded to 64 lanes; F=4 rows are 108 padded to
+    128 — one native TPU tile row, halving the per-row gather/scatter count
+    per encoded sample at equal entry budget."""
+    if n_features not in (2, 4):
+        raise NotImplementedError("brick layout supports F in {2, 4}")
     if log2_bricks is None:
         log2_bricks = max(1, log2_hashmap_size - 5)   # T/32 ~= T/27
     S = 2 ** log2_bricks
@@ -113,6 +118,7 @@ def make_grid_spec(
         brick_grids=tuple(brick_grids),
         offsets=tuple(offsets),
         sizes=tuple(sizes),
+        row_width=64 if n_features == 2 else 128,
     )
 
 

@@ -69,6 +69,48 @@ def _wrow_pair(meta_blk, F: int, bn2: int):
     return wx * wy * wz * valid
 
 
+def _wrow_single(meta_blk, F: int, W: int, bn: int):
+    """(bn, META_W) p-values -> (bn, W) trilinear lane weights (one sample
+    per row; used for F=4 whose 108-float rows already fill a 128-lane tile).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, W), 1)
+    pidx = jnp.minimum(lane // F, N_PTS - 1)
+    cx = (pidx // 9).astype(jnp.float32)
+    cy = ((pidx // 3) % 3).astype(jnp.float32)
+    cz = (pidx % 3).astype(jnp.float32)
+    valid = (lane < N_PTS * F).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - meta_blk[:, 0:1]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy - meta_blk[:, 1:2]))
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(cz - meta_blk[:, 2:3]))
+    return wx * wy * wz * valid
+
+
+def _fwd_kernel_single(rows_ref, meta_ref, w1_ref, h1_ref, wr_ref, *, F: int):
+    l = pl.program_id(1)
+    bn, W = rows_ref.shape[1], rows_ref.shape[2]
+    wrow = _wrow_single(meta_ref[0], F, W, bn)
+    wr = (rows_ref[0] * wrow).astype(jnp.bfloat16)
+    wr_ref[0] = wr
+    acc = jnp.dot(wr, w1_ref[0].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+
+    @pl.when(l == 0)
+    def _():
+        h1_ref[...] = jnp.zeros_like(h1_ref)
+
+    h1_ref[...] += acc
+
+
+def _bwd_kernel_single(meta_ref, w1_ref, g_ref, drows_ref, *, F: int):
+    bn, W = drows_ref.shape[1], drows_ref.shape[2]
+    wrow = _wrow_single(meta_ref[0], F, W, bn)
+    d_wr = jax.lax.dot_general(
+        g_ref[...].astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    drows_ref[0] = d_wr * wrow
+
+
 def _fwd_kernel(rows_ref, meta_ref, w1_ref, h1_ref, wr_ref, *, F: int):
     l = pl.program_id(1)
     bn2 = rows_ref.shape[1]
@@ -114,7 +156,27 @@ def encode_mlp_fwd_pallas(rows, meta, w1big, *, F: int, bn: int = 4096,
     """
     L, N, W = rows.shape
     H = w1big.shape[-1]
-    assert W == LANE_W and N % bn == 0 and bn % 2 == 0, (N, W, bn)
+    assert N % bn == 0 and bn % 2 == 0, (N, W, bn)
+    if W != LANE_W:                    # F=4: rows already fill 128 lanes
+        grid = (N // bn, L)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_single, F=F),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bn, W), lambda n, l: (l, n, 0)),
+                pl.BlockSpec((1, bn, META_W), lambda n, l: (l, n, 0)),
+                pl.BlockSpec((1, W, H), lambda n, l: (l, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bn, H), lambda n, l: (n, 0)),
+                pl.BlockSpec((1, bn, W), lambda n, l: (l, n, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, H), jnp.float32),
+                jax.ShapeDtypeStruct((L, N, W), jnp.bfloat16),
+            ],
+            interpret=interpret,
+        )(rows, meta, w1big)
     bn2 = bn // 2
     rows_p = rows.reshape(L, N // 2, 2 * W)
     meta_p = meta.reshape(L, N // 2, 2 * META_W)
@@ -150,7 +212,21 @@ def encode_mlp_bwd_pallas(meta, w1big, g, *, F: int, bn: int = 4096,
     reuse one fetched block."""
     L, N = meta.shape[0], meta.shape[1]
     W, H = w1big.shape[1], w1big.shape[2]
-    assert W == LANE_W and N % bn == 0 and bn % 2 == 0, (N, W, bn)
+    assert N % bn == 0 and bn % 2 == 0, (N, W, bn)
+    if W != LANE_W:                    # F=4 single-sample rows
+        grid = (N // bn, L)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_single, F=F),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bn, META_W), lambda n, l: (l, n, 0)),
+                pl.BlockSpec((1, W, H), lambda n, l: (l, 0, 0)),
+                pl.BlockSpec((bn, H), lambda n, l: (n, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bn, W), lambda n, l: (l, n, 0)),
+            out_shape=jax.ShapeDtypeStruct((L, N, W), jnp.float32),
+            interpret=interpret,
+        )(meta, w1big, g)
     bn2 = bn // 2
     meta_p = meta.reshape(L, N // 2, 2 * META_W)
     g_p = g.reshape(N // 2, 2 * H)

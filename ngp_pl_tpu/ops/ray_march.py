@@ -381,10 +381,45 @@ def segment_march_dmax_ok(directions, grid_size: int = 128,
     return (SEGMENT_J - 1) / 2 * dt_min * dmax < cell
 
 
-def _compact_to_pool(occ, ts, N, K, max_samples, pool_size, exp_step_factor,
-                     dt_min, dt_max):
-    """Deterministic two-stage prefix-sum compaction of occupied samples into
-    a flat (pool_size,) pool ordered by (ray, t).  occ/ts: (N, K)."""
+def _nth_set_bit(m: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """Position of the (j+1)-th set bit of each uint32 in m (j 0-based).
+
+    Branch-free binary search over prefix popcounts; undefined when
+    j >= popcount(m) (callers mask those slots)."""
+    pos = jnp.zeros_like(j)
+    for width in (16, 8, 4, 2, 1):
+        mask = jnp.uint32((1 << width) - 1)
+        low = m & mask
+        c = jax.lax.population_count(low).astype(j.dtype)
+        go_hi = j >= c
+        j = jnp.where(go_hi, j - c, j)
+        pos = pos + jnp.where(go_hi, width, 0)
+        m = jnp.where(go_hi, m >> jnp.uint32(width), low)
+    return pos
+
+
+def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
+                     exp_step_factor, dt_min, dt_max):
+    """Deterministic compaction of occupied samples into a flat (pool_size,)
+    pool ordered by (ray, t).
+
+    occ: (N, K) candidate occupancy.  kk: (N, K) int32 fine chain-step index
+    of each candidate.  t0: (N,) jittered chain start per ray — `ts` is
+    reconstructed in the pool as the closed-form chain position `t(t0, k)`,
+    bit-identical to the candidate's (same expression, same operands).
+
+    Scatter cost on TPU is per INPUT ROW (~9-14ns each, regardless of row
+    width or drop masks), so the design minimizes scattered rows:
+
+      stage 1 (scatter):  GROUPS of 32 consecutive candidates compact an
+        8-lane int32 descriptor [ray | occ bitmask | 4x k-base | t0 bits]
+        into rank order — N*K/32 rows, ~4x fewer than the previous
+        8-candidate/18-lane scheme.
+      stage 2 (gather):   each pool slot locates its source group via
+        block-start marks + an inclusive running max (no per-sample scatter
+        at all), then selects its sample from the group's occupancy bitmask
+        with a branch-free n-th-set-bit search.
+    """
     # per-ray occupied-sample cap + bookkeeping (prefix sums)
     occ_i = occ.astype(jnp.int32)
     incl = jnp.cumsum(occ_i, axis=1)
@@ -397,49 +432,71 @@ def _compact_to_pool(occ, ts, N, K, max_samples, pool_size, exp_step_factor,
     )
     total = jnp.minimum(jnp.sum(counts), pool_size).astype(jnp.int32)
 
-    # Two-stage compaction (both scatters on the fast wide/short path).
-    # Scattering all N*K candidates directly costs ~7ns per candidate even
-    # for dropped ones; instead: stage 1 compacts GROUPS of 8 consecutive
-    # chain steps (8x fewer scatter rows), stage 2 tight-packs the surviving
-    # candidates (only ~occupancy-many rows).
-    GRP = 8
+    GRP = 32
+    while K % GRP:
+        GRP //= 2
     NG = N * K // GRP
     occ_g = occ.reshape(NG, GRP)
-    grp_any = occ_g.any(axis=1)
+    lane_w = (jnp.uint32(1) << jnp.arange(GRP, dtype=jnp.uint32))
+    bits = (occ_g.astype(jnp.uint32) * lane_w[None, :]).sum(
+        axis=1, dtype=jnp.uint32)                              # (NG,)
+    grp_any = bits != 0
     grp_rank = jnp.cumsum(grp_any.astype(jnp.int32)) - grp_any
-    blocks = 2 * (pool_size // GRP)
+    blocks = max(2 * (pool_size // GRP), 1)
     tgt = jnp.where(grp_any & (grp_rank < blocks), grp_rank, blocks)
 
     ray_of_grp = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, K // GRP)).reshape(NG)
-    # payload: [ts(8) | occ flags(8) | ray(1) | pad] as one f32 row
+    t0_of_grp = jnp.broadcast_to(t0[:, None], (N, K // GRP)).reshape(NG)
+    # k base of each 8-candidate subgroup (lanes 0, 8, 16, 24)
+    n_sub = max(GRP // 8, 1)
+    kb = kk.reshape(NG, GRP)[:, ::8][:, :n_sub]                # (NG, <=4)
+    if n_sub < 4:
+        kb = jnp.pad(kb, ((0, 0), (0, 4 - n_sub)))
     payload = jnp.concatenate(
         [
-            ts.reshape(NG, GRP),
-            occ_g.astype(jnp.float32),
-            ray_of_grp[:, None].astype(jnp.float32),
-            jnp.zeros((NG, 1), jnp.float32),
+            ray_of_grp[:, None],
+            jax.lax.bitcast_convert_type(bits, jnp.int32)[:, None],
+            kb,
+            jax.lax.bitcast_convert_type(
+                t0_of_grp.astype(jnp.float32), jnp.int32)[:, None],
+            jnp.zeros((NG, 1), jnp.int32),
         ],
         axis=1,
-    )                                                          # (NG, 18)
-    staged = jnp.zeros((blocks, payload.shape[1]), jnp.float32).at[tgt].set(
+    )                                                          # (NG, 8)
+    staged = jnp.zeros((blocks, 8), jnp.int32).at[tgt].set(
         payload, mode="drop")
 
-    s_ts = staged[:, :GRP].reshape(-1)                         # (blocks*8,)
-    s_occ = staged[:, GRP:2 * GRP].reshape(-1) > 0.5
-    s_ray = jnp.repeat(staged[:, 2 * GRP].astype(jnp.int32), GRP)
+    s_bits = jax.lax.bitcast_convert_type(staged[:, 1], jnp.uint32)
+    cnt_b = jax.lax.population_count(s_bits).astype(jnp.int32)  # (blocks,)
+    start_b = jnp.cumsum(cnt_b) - cnt_b                        # excl cumsum
 
-    s_occ_i = s_occ.astype(jnp.int32)
-    s_rank = jnp.cumsum(s_occ_i) - s_occ_i
-    s_tgt = jnp.where(s_occ & (s_rank < pool_size), s_rank, pool_size)
-    tight = jnp.concatenate(
-        [s_ts[:, None], s_ray.astype(jnp.float32)[:, None]], axis=1)
-    pool = jnp.zeros((pool_size, 2), jnp.float32).at[s_tgt].set(
-        tight, mode="drop")
+    # pool slot -> owning block: mark each nonempty block's start slot with
+    # (block id, start), take the inclusive running max.  Nonempty blocks
+    # have strictly increasing distinct starts, so max-marking is exact.
+    P = pool_size
+    b_ids = jnp.arange(blocks, dtype=jnp.int32)
+    mark_ok = (cnt_b > 0) & (start_b < P)
+    mtgt = jnp.where(mark_ok, start_b, P)
+    b_of = jax.lax.cummax(
+        jnp.zeros((P,), jnp.int32).at[mtgt].max(b_ids, mode="drop"))
+    start_of = jax.lax.cummax(
+        jnp.zeros((P,), jnp.int32).at[mtgt].max(start_b, mode="drop"))
 
-    pool_ts = pool[:, 0]
-    pool_valid = jnp.arange(pool_size, dtype=jnp.int32) < total
-    pool_ray = jnp.where(pool_valid, pool[:, 1].astype(jnp.int32), N)
+    rows_p = staged[b_of]                                      # (P, 8) gather
+    p_bits = jax.lax.bitcast_convert_type(rows_p[:, 1], jnp.uint32)
+    j = jnp.arange(P, dtype=jnp.int32) - start_of
+    bitpos = _nth_set_bit(p_bits, j)
+    ksub = jnp.clip(bitpos >> 3, 0, 3)
+    kb_sel = jnp.take_along_axis(rows_p, 2 + ksub[:, None], axis=1)[:, 0]
+    k = (kb_sel + (bitpos & 7)).astype(jnp.float32)
+    t0_p = jax.lax.bitcast_convert_type(rows_p[:, 6], jnp.float32)
+
+    pool_valid = jnp.arange(P, dtype=jnp.int32) < total
+    pool_ts = jnp.where(
+        pool_valid,
+        _chain_t(t0_p, k, exp_step_factor, dt_min, dt_max), 0.0)
+    pool_ray = jnp.where(pool_valid, rows_p[:, 0], N)
     pool_dts = jnp.clip(pool_ts * exp_step_factor, dt_min, dt_max)
 
     # counts actually represented in the pool (clip rays past the budget)
@@ -527,9 +584,11 @@ def march_rays_train(
         # itself signals possible truncation (the caller re-buckets up)
         chain_demand = jnp.max(per_ray_need).astype(jnp.int32)
 
+    kk_all = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
-        occ, ts, N, K, max_samples, pool_size, exp_step_factor, dt_min, dt_max)
+        occ, kk_all, t0, N, K, max_samples, pool_size, exp_step_factor,
+        dt_min, dt_max)
 
     return MarchResults(
         ts=pool_ts,
@@ -658,7 +717,8 @@ def march_rays_train_segments(
 
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
-        occ, ts, N, M * J, max_samples, pool_size, 0.0, dt_min, dt_max)
+        occ, kk.reshape(N, M * J), t0, N, M * J, max_samples, pool_size, 0.0,
+        dt_min, dt_max)
 
     return MarchResults(
         ts=pool_ts,

@@ -42,6 +42,26 @@ def main():
         msg = " ".join(f"{k}={v:.4f}" for k, v in scores.items())
         print(f"test: {msg}")
 
+    # assemble test-view videos from the validation renders (reference
+    # train.py:284-293: rgb + depth mp4s for synthetic NSVF runs)
+    if (not tcfg.no_save_test and tcfg.dataset_name == "nsvf"
+            and "Synthetic" in (tcfg.root_dir or "")):
+        import imageio.v2 as imageio
+
+        val_dir = f"results/{tcfg.dataset_name}/{tcfg.exp_name}"
+        imgs = sorted(
+            f for f in os.listdir(val_dir) if f.endswith(".png"))
+        rgb = [imageio.imread(os.path.join(val_dir, f))
+               for f in imgs if not f.endswith("_d.png")]
+        dep = [imageio.imread(os.path.join(val_dir, f))
+               for f in imgs if f.endswith("_d.png")]
+        from ngp_pl_tpu.utils.video import write_video
+
+        if rgb:
+            write_video(os.path.join(val_dir, "rgb.mp4"), rgb, fps=30)
+        if dep:
+            write_video(os.path.join(val_dir, "depth.mp4"), dep, fps=30)
+
 
 if __name__ == "__main__":
     main()
