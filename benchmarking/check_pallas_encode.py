@@ -48,7 +48,7 @@ def main():
     bn = _pick_bn(N)
 
     h_ref = np.asarray(_encode_mlp_cv(spec, False, x, table, w1big))
-    h_pl = np.asarray(_encode_mlp_pl_cv(spec, bn, x, table, w1big))
+    h_pl = np.asarray(_encode_mlp_pl_cv(spec, bn, x, table, w1))
     err = np.abs(h_ref - h_pl).max() / (np.abs(h_ref).max() + 1e-9)
     print(f"fwd rel err: {err:.2e}", flush=True)
     assert err < 1e-2, err
@@ -62,13 +62,25 @@ def main():
         return (_encode_mlp_pl_cv(spec, bn, x, t, w) * g).sum()
 
     gt_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(table, w1big)
-    gt_p, gw_p = jax.grad(loss_pl, argnums=(0, 1))(table, w1big)
+    gt_p, gw_p1 = jax.grad(loss_pl, argnums=(0, 1))(table, w1)
+    gw_p = expand_w1(gw_p1, spec) * 0  # shapes differ: compare d_w1 instead
     e_t = np.abs(np.asarray(gt_r - gt_p)).max() / (
         np.abs(np.asarray(gt_r)).max() + 1e-9)
-    e_w = np.abs(np.asarray(gw_r - gw_p)).max() / (
-        np.abs(np.asarray(gw_r)).max() + 1e-9)
-    print(f"bwd rel err: d_table {e_t:.2e}  d_w1big {e_w:.2e}", flush=True)
-    assert e_t < 1e-2 and e_w < 1e-2, (e_t, e_w)
+    # fold reference d_w1big (L, W, H) back to d_w1 (L*F, H) for comparison
+    from ngp_pl_tpu.ops.hash_encoding import BRICK_PTS
+    import numpy as _np
+    L, W = spec.n_levels, spec.row_width
+    F = spec.n_features
+    gw_r_np = np.asarray(gw_r)
+    d_w1_ref = _np.zeros((L * F, gw_r_np.shape[-1]), _np.float32)
+    for l in range(L):
+        for lane in range(W):
+            if lane < BRICK_PTS ** 3 * F:
+                d_w1_ref[l * F + lane % F] += gw_r_np[l, lane]
+    e_w = np.abs(np.asarray(gw_p1) - d_w1_ref).max() / (
+        np.abs(d_w1_ref).max() + 1e-9)
+    print(f"bwd rel err: d_table {e_t:.2e}  d_w1 {e_w:.2e}", flush=True)
+    assert e_t < 1e-2 and e_w < 2e-2, (e_t, e_w)
 
     # --- timing at bench pool size ---
     N = 262144
@@ -78,7 +90,7 @@ def main():
     f_ref = jax.jit(lambda t, w: _encode_mlp_cv(spec, False, x, t, w).sum())
     f_pl = jax.jit(lambda t, w: _encode_mlp_pl_cv(spec, bn, x, t, w).sum())
     timeit("XLA fwd", f_ref, table, w1big)
-    timeit("Pallas fwd", f_pl, table, w1big)
+    timeit("Pallas fwd", f_pl, table, w1)
 
     gbig = jax.random.normal(jax.random.PRNGKey(5), (N, 64))
     g_ref = jax.jit(jax.grad(
@@ -88,7 +100,7 @@ def main():
         lambda t, w: (_encode_mlp_pl_cv(spec, bn, x, t, w) * gbig).sum(),
         argnums=(0, 1)))
     timeit("XLA fwd+bwd", g_ref, table, w1big)
-    timeit("Pallas fwd+bwd", g_pl, table, w1big)
+    timeit("Pallas fwd+bwd", g_pl, table, w1)
 
 
 if __name__ == "__main__":

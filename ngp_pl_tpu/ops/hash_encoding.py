@@ -471,19 +471,19 @@ def _meta_p(local, frac):
 
 
 def _pick_bn(n: int) -> int:
-    for bn in (2048, 1024, 512, 256, 128):
+    for bn in (4096, 2048, 1024, 512, 256, 128):
         if n % bn == 0:
             return bn
     return 0
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _encode_mlp_pl_cv(spec: HashGridSpec, bn: int, x, table, w1big):
-    out, _ = _encode_mlp_pl_fwd(spec, bn, x, table, w1big)
+def _encode_mlp_pl_cv(spec: HashGridSpec, bn: int, x, table, w1):
+    out, _ = _encode_mlp_pl_fwd(spec, bn, x, table, w1)
     return out
 
 
-def _encode_mlp_pl_fwd(spec, bn, x, table, w1big):
+def _encode_mlp_pl_fwd(spec, bn, x, table, w1):
     from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_fwd_pallas
 
     N = x.shape[0]
@@ -492,26 +492,28 @@ def _encode_mlp_pl_fwd(spec, bn, x, table, w1big):
     slot, local, frac = _slots_local_frac_lm(xc, spec)
     meta = _meta_p(local, frac)
     rows = table[slot.reshape(-1)].reshape(L, N, W)
-    h1, wr = encode_mlp_fwd_pallas(rows, meta, w1big,
-                                   F=spec.n_features, bn=bn)
-    return h1, (slot, meta, wr, w1big)
+    h1, feats = encode_mlp_fwd_pallas(rows, meta, expand_w1(w1, spec),
+                                      F=spec.n_features, bn=bn)
+    return h1, (slot, meta, feats, w1)
 
 
 def _encode_mlp_pl_bwd(spec, bn, res, g):
     from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_bwd_pallas
 
-    slot, meta, wr, w1big = res
-    L, W = spec.n_levels, spec.row_width
+    slot, meta, feats, w1 = res
+    L, F, W = spec.n_levels, spec.n_features, spec.row_width
 
-    # dL/dw1big: contract (L, N, W) x (N, H) over N -> (L, W, H)
-    d_w1big = jax.lax.dot_general(
-        wr, g.astype(jnp.bfloat16),
+    # h1 = feats_flat @ w1, so dL/dw1 = feats^T g:
+    # (L, N, F) x (N, H) over N -> (L, F, H) -> (L*F, H)
+    d_w1 = jax.lax.dot_general(
+        feats.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(L * F, -1)
 
-    d_rows = encode_mlp_bwd_pallas(meta, w1big, g, F=spec.n_features, bn=bn)
+    d_rows = encode_mlp_bwd_pallas(meta, expand_w1(w1, spec), g,
+                                   F=spec.n_features, bn=bn)
 
-    # per-level scatter-adds (each target slice <= 4 MB — fast scatter path)
+    # per-level scatter-adds (each target slice stays small — fast path)
     parts = []
     for l in range(L):
         parts.append(
@@ -519,7 +521,7 @@ def _encode_mlp_pl_bwd(spec, bn, res, g):
             .at[slot[l] - spec.offsets[l]].add(d_rows[l]))
     d_table = jnp.concatenate(parts, axis=0)
     d_x = jnp.zeros(meta.shape[1:2] + (3,), jnp.float32)
-    return d_x, d_table, d_w1big
+    return d_x, d_table, d_w1
 
 
 _encode_mlp_pl_cv.defvjp(_encode_mlp_pl_fwd, _encode_mlp_pl_bwd)
@@ -546,11 +548,10 @@ def hash_encode_mlp(
       x: (N, 3) in [0, 1]^3.  table: (total_rows, W).  w1: (L*F, H).
     Returns: (N, H) pre-activation, fp32.
     """
-    w1big = expand_w1(w1, spec)
     bn = _pick_bn(x.shape[0])
     if not need_x_grad and bn and _pallas_available():
-        return _encode_mlp_pl_cv(spec, bn, x, table, w1big)
-    return _encode_mlp_cv(spec, bool(need_x_grad), x, table, w1big)
+        return _encode_mlp_pl_cv(spec, bn, x, table, w1)
+    return _encode_mlp_cv(spec, bool(need_x_grad), x, table, expand_w1(w1, spec))
 
 
 @partial(jax.jit, static_argnames=("spec", "need_x_grad"))

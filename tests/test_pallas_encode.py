@@ -35,19 +35,21 @@ def test_fwd_kernel_matches_xla():
     slot, local, frac = _slots_local_frac_lm(jnp.clip(x, 0, 1), spec)
     meta = _meta_p(local, frac)
     rows = table[slot.reshape(-1)].reshape(L, N, W)
-    h1, wr = encode_mlp_fwd_pallas(rows, meta, w1big, F=spec.n_features,
-                                   bn=128, interpret=True)
+    h1, feats = encode_mlp_fwd_pallas(rows, meta, w1big, F=spec.n_features,
+                                      bn=128, interpret=True)
     h_ref = np.asarray(_encode_mlp_cv(spec, False, x, table, w1big))
     scale = np.abs(h_ref).max() + 1e-9
     np.testing.assert_allclose(np.asarray(h1) / scale, h_ref / scale,
                                atol=2e-2)
-    # wr residual reproduces the XLA wr (rows * trilinear lane weights)
-    from ngp_pl_tpu.ops.hash_encoding import _wrow_lm
+    # feats residual reproduces the plain hash encoding (per level)
+    from ngp_pl_tpu.ops.hash_encoding import hash_encode
 
-    wr_ref = (rows * _wrow_lm(local, frac, spec)).astype(jnp.bfloat16)
-    np.testing.assert_allclose(
-        np.asarray(wr, np.float32), np.asarray(wr_ref, np.float32),
-        atol=1e-3 * float(scale))
+    F = spec.n_features
+    f_ref = np.asarray(hash_encode(x, table, spec)).reshape(N, L, F)
+    f_ref = np.moveaxis(f_ref, 1, 0)                   # (L, N, F)
+    fscale = np.abs(f_ref).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(feats) / fscale, f_ref / fscale,
+                               atol=2e-2)
 
 
 def test_bwd_kernel_matches_autodiff():
