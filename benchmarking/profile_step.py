@@ -89,22 +89,21 @@ def main():
     noise = jnp.asarray(rng.random(B), jnp.float32)
 
     from ngp_pl_tpu.models.rendering import render_rays_train, scene_hits
-    from ngp_pl_tpu.ops.ray_march import march_rays_train_segments
+    from ngp_pl_tpu.ops.ray_march import march_rays_train_window
 
     hits = scene_hits(rays_o, rays_d, cfg.scale)
+    win_rows = system.grid_state.win_rows
 
-    # 2. march only
+    # 2. march only (windowed)
     @jax.jit
-    def march_only(occ, occ_rows, dil_rows):
-        m = march_rays_train_segments(
-            rays_o, rays_d, hits, occ, noise, scale=cfg.scale,
+    def march_only(win_rows):
+        m = march_rays_train_window(
+            rays_o, rays_d, hits, noise, win_rows, scale=cfg.scale,
             grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
-            pool_size=pool, chain_length=chain, n_intervals=n_int,
-            occ_rows=occ_rows, dil_rows=dil_rows)
+            pool_size=pool, chain_length=chain)
         return m.ts, m.ray_idx, m.deltas, m.valid, m.offsets, m.total
-    ts, ray_idx, deltas, valid, offsets, total = march_only(
-        occ, occ_rows, dil_rows)
-    timeit("march (segments)", march_only, occ, occ_rows, dil_rows)
+    ts, ray_idx, deltas, valid, offsets, total = march_only(win_rows)
+    timeit("march (window)", march_only, win_rows)
 
     # sample positions for field-only timings
     ridx = jnp.clip(ray_idx, 0, B - 1)
@@ -165,28 +164,26 @@ def main():
 
     # 7. full render fwd (no grad)
     @jax.jit
-    def render_fwd(params, occ, occ_rows, dil_rows):
+    def render_fwd(params, occ, win_rows):
         out = render_rays_train(
             ngp, params, occ, rays_o, rays_d, noise,
             jnp.ones((3,), jnp.float32), rcfg=rcfg, pool_mult=pool_mult,
-            chain_length=chain, n_intervals=n_int, occ_rows=occ_rows,
-            dil_rows=dil_rows)
+            chain_length=chain, win_rows=win_rows)
         return out["rgb"].sum()
     timeit("render fwd (march+field+composite)", render_fwd, params, occ,
-           occ_rows, dil_rows)
+           win_rows)
 
     # 8. full render fwd+bwd
     @jax.jit
-    def render_grad(params, occ, occ_rows, dil_rows):
+    def render_grad(params, occ, win_rows):
         def f(p):
             out = render_rays_train(
                 ngp, p, occ, rays_o, rays_d, noise,
                 jnp.ones((3,), jnp.float32), rcfg=rcfg, pool_mult=pool_mult,
-                chain_length=chain, n_intervals=n_int, occ_rows=occ_rows,
-                dil_rows=dil_rows)
+                chain_length=chain, win_rows=win_rows)
             return out["rgb"].sum()
         return jax.grad(f)(params)["hash_table"].sum()
-    timeit("render fwd+bwd", render_grad, params, occ, occ_rows, dil_rows)
+    timeit("render fwd+bwd", render_grad, params, occ, win_rows)
 
     # 9. optimizer update alone
     from ngp_pl_tpu.training.train_step import make_optimizer

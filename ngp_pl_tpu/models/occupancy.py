@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from ngp_pl_tpu.config import NEAR_DISTANCE, NGPConfig
 from ngp_pl_tpu.ops.grid_ops import packbits
 from ngp_pl_tpu.ops.morton import morton3d
-from ngp_pl_tpu.ops.ray_march import dilate_lines, occupancy_lines
+from ngp_pl_tpu.ops.ray_march import (
+    WIN_B,
+    WIN_WORDS,
+    dilate_lines,
+    occupancy_lines,
+    occupancy_windows,
+)
 
 
 class OccupancyGridState(NamedTuple):
@@ -40,12 +46,14 @@ class OccupancyGridState(NamedTuple):
     # derived, refreshed with occ_grid so the per-step march never repacks:
     occ_rows: jnp.ndarray       # (C*G*G, W) uint32 bit-packed z-lines
     dil_rows: jnp.ndarray       # same, 3^3-dilated (segment-march level A)
+    win_rows: jnp.ndarray       # (C*(G/4)^3, 16) packed 8^3 windows
 
 
 def grid_rows(occ_grid: jnp.ndarray, cascades: int, grid_size: int):
-    """(occ_rows, dil_rows) packed z-line forms of the occupancy grid."""
+    """(occ_rows, dil_rows, win_rows) packed forms of the occupancy grid."""
     rows = occupancy_lines(occ_grid)
-    return rows, dilate_lines(rows, cascades, grid_size)
+    return (rows, dilate_lines(rows, cascades, grid_size),
+            occupancy_windows(occ_grid))
 
 
 def init_grid_state(cfg: NGPConfig) -> OccupancyGridState:
@@ -58,6 +66,7 @@ def init_grid_state(cfg: NGPConfig) -> OccupancyGridState:
         mean_density=jnp.zeros((), jnp.float32),
         occ_rows=jnp.zeros((C * G * G, W), jnp.uint32),
         dil_rows=jnp.zeros((C * G * G, W), jnp.uint32),
+        win_rows=jnp.zeros((C * (G // WIN_B) ** 3, WIN_WORDS), jnp.uint32),
     )
 
 
@@ -219,7 +228,7 @@ def make_update_density_grid(ngp, cfg: NGPConfig, chunk: int = 2 ** 18):
         )
         thr = jnp.minimum(mean_density, density_threshold)
         occ = (new_grid > thr).astype(jnp.uint8).reshape(C, G, G, G)
-        occ_rows, dil_rows = grid_rows(occ, C, G)
+        occ_rows, dil_rows, win_rows = grid_rows(occ, C, G)
         return OccupancyGridState(
             density_grid=new_grid,
             count_grid=state.count_grid,
@@ -227,6 +236,7 @@ def make_update_density_grid(ngp, cfg: NGPConfig, chunk: int = 2 ** 18):
             mean_density=mean_density,
             occ_rows=occ_rows,
             dil_rows=dil_rows,
+            win_rows=win_rows,
         )
 
     return update_density_grid

@@ -29,6 +29,7 @@ from ngp_pl_tpu.ops.ray_march import (
     march_rays_test_round,
     march_rays_train,
     march_rays_train_segments,
+    march_rays_train_window,
 )
 from ngp_pl_tpu.ops.volume_render import composite_test_round, composite_train
 
@@ -109,6 +110,7 @@ def render_rays_train(
     n_intervals: int = 0,                     # >0: two-level segment march
     occ_rows: Optional[jnp.ndarray] = None,   # precomputed packed z-lines
     dil_rows: Optional[jnp.ndarray] = None,   # precomputed dilated z-lines
+    win_rows: Optional[jnp.ndarray] = None,   # precomputed 8^3 windows
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable train-time render (reference rendering.py:121-163).
 
@@ -125,7 +127,23 @@ def render_rays_train(
     chain = chain_length or (
         rcfg.max_samples if cfg.exp_step_factor == 0
         else 2 * rcfg.max_samples)
-    if n_intervals > 0 and cfg.cascades == 1 and cfg.exp_step_factor == 0.0:
+    if (win_rows is not None and cfg.cascades == 1
+            and cfg.exp_step_factor == 0.0):
+        # windowed march: one 64B occupancy gather per 8 chain steps, exact
+        # bits, no interval budget (callers verify segment_march_dmax_ok)
+        m = march_rays_train_window(
+            jax.lax.stop_gradient(rays_o),
+            jax.lax.stop_gradient(rays_d),
+            jax.lax.stop_gradient(hits_t),
+            noise,
+            win_rows,
+            scale=cfg.scale,
+            grid_size=cfg.grid_size,
+            max_samples=rcfg.max_samples,
+            pool_size=pool_size,
+            chain_length=chain,
+        )
+    elif n_intervals > 0 and cfg.cascades == 1 and cfg.exp_step_factor == 0.0:
         m = march_rays_train_segments(
             jax.lax.stop_gradient(rays_o),
             jax.lax.stop_gradient(rays_d),
@@ -260,7 +278,8 @@ def _next_pow2(n: int) -> int:
 
 def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                                chunk: int = 16384, slots: int = 4096,
-                               n_s: int = 16, max_rounds: int = 512):
+                               n_s: int = 16, max_rounds: int = 512,
+                               use_window: bool = False):
     """Device-resident adaptive renderer (reference rendering.py:46-118,
     re-designed for a high-latency host link).
 
@@ -274,13 +293,16 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     """
     cfg = ngp.cfg
     chain = max(4 * n_s, 64)
-    from ngp_pl_tpu.ops.ray_march import occupancy_lines
+    from ngp_pl_tpu.ops.ray_march import occupancy_lines, occupancy_windows
+
+    window = use_window and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
 
     @jax.jit
     def _render_chunk(params, occ_grid, rays_o, rays_d):
         N = rays_o.shape[0]
         hits = scene_hits(rays_o, rays_d, cfg.scale)
-        occ_rows = occupancy_lines(occ_grid)
+        occ_rows = None if window else occupancy_lines(occ_grid)
+        win_rows = occupancy_windows(occ_grid) if window else None
 
         init = dict(
             t_cur=hits[:, 0],
@@ -310,7 +332,8 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                 cascades=cfg.cascades, scale=cfg.scale,
                 exp_step_factor=cfg.exp_step_factor,
                 grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
-                n_samples=n_s, chain_length=chain, occ_rows=occ_rows)
+                n_samples=n_s, chain_length=chain, occ_rows=occ_rows,
+                win_rows=win_rows)
             S = slots
             xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
             dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))

@@ -150,7 +150,6 @@ def _slots_local_frac(x, spec: HashGridSpec):
     res_i = jnp.asarray(spec.resolutions, jnp.int32)
     bgrid = jnp.asarray(spec.brick_grids, jnp.int32)            # (L,)
     level_off = jnp.asarray(spec.offsets, jnp.int32)
-    level_size = jnp.asarray(spec.sizes, jnp.uint32)
     dense_mask = jnp.asarray(
         [spec.sizes[l] == spec.brick_grids[l] ** 3 for l in range(L)])
 
@@ -163,11 +162,13 @@ def _slots_local_frac(x, spec: HashGridSpec):
     local = cell & 1                                            # (N, L, 3)
 
     bu = brick.astype(jnp.uint32)
+    # hashed levels all share the pow-2 budget S, so `% size` is a mask (the
+    # dense branch below ignores this value); integer division is slow VPU
     hashed = (
         bu[..., 0] * jnp.uint32(_PRIMES[0])
         ^ bu[..., 1] * jnp.uint32(_PRIMES[1])
         ^ bu[..., 2] * jnp.uint32(_PRIMES[2])
-    ) % level_size[None, :]
+    ) & jnp.uint32(2 ** spec.log2_bricks - 1)
     dense = ((brick[..., 0] * bgrid[None, :] + brick[..., 1])
              * bgrid[None, :] + brick[..., 2])
     slot = jnp.where(dense_mask[None, :], dense, hashed.astype(jnp.int32))
@@ -329,7 +330,6 @@ def _slots_local_frac_lm(x, spec: HashGridSpec):
     res_i = jnp.asarray(spec.resolutions, jnp.int32)
     bgrid = jnp.asarray(spec.brick_grids, jnp.int32)
     level_off = jnp.asarray(spec.offsets, jnp.int32)
-    level_size = jnp.asarray(spec.sizes, jnp.uint32)
     L = spec.n_levels
     dense_mask = jnp.asarray(
         [spec.sizes[l] == spec.brick_grids[l] ** 3 for l in range(L)])
@@ -341,11 +341,12 @@ def _slots_local_frac_lm(x, spec: HashGridSpec):
     brick = cell >> 1
     local = cell & 1
     bu = brick.astype(jnp.uint32)
+    # `% size` -> pow-2 mask; see _slots_local_frac
     hashed = (
         bu[..., 0] * jnp.uint32(_PRIMES[0])
         ^ bu[..., 1] * jnp.uint32(_PRIMES[1])
         ^ bu[..., 2] * jnp.uint32(_PRIMES[2])
-    ) % level_size[:, None]
+    ) & jnp.uint32(2 ** spec.log2_bricks - 1)
     dense = ((brick[..., 0] * bgrid[:, None] + brick[..., 1])
              * bgrid[:, None] + brick[..., 2])
     slot = jnp.where(dense_mask[:, None], dense, hashed.astype(jnp.int32))

@@ -194,29 +194,42 @@ def march_rays_test_round(
     n_samples: int,           # occupied samples to produce per ray this round
     chain_length: int,        # chain steps to examine per ray this round
     occ_rows: jnp.ndarray | None = None,  # precomputed occupancy_lines
+    win_rows: jnp.ndarray | None = None,  # packed 8^3 windows (uniform step)
 ):
     """One inference marching round (reference raymarching.cu:335-454).
 
     Returns (ts (N, S), deltas (N, S), valid (N, S) bool, t_next (N,),
     n_eff (N,)). `t_next` is the resume cursor: the chain position after the
     last examined step, or just past the n_samples-th occupied sample.
+
+    With `win_rows` (single cascade, uniform stepping) the occupancy test
+    runs via one 64-byte window gather per 8 chain steps instead of one
+    z-line gather per step — same bits, ~8x fewer random accesses.
     """
     N = rays_o.shape[0]
     K, S = chain_length, n_samples
     dt_min = SQRT3 / max_samples
     dt_max = SQRT3 * 2.0 * scale / grid_size
 
+    use_window = (win_rows is not None and exp_step_factor == 0.0
+                  and cascades == 1 and K % SEGMENT_J == 0)
     k = jnp.arange(K + 1, dtype=jnp.float32)[None, :]          # (1, K+1)
     ts_all = _chain_t(t_start[:, None], k, exp_step_factor, dt_min, dt_max)
     ts = ts_all[:, :K]                                         # (N, K)
     dts = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
     in_range = (ts < t_end[:, None]) & (t_start[:, None] >= 0)
 
-    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
-    if occ_rows is None:
-        occ_rows = occupancy_lines(occ_grid)
-    occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
+    if use_window:
+        occ, _ = _occ_window_chain(
+            rays_o, rays_d, t_start, K // SEGMENT_J, win_rows,
+            scale=scale, grid_size=grid_size, dt_min=dt_min)
+        occ = occ.reshape(N, K)
+    else:
+        xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+        mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
+        if occ_rows is None:
+            occ_rows = occupancy_lines(occ_grid)
+        occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
 
     occ_i = occ.astype(jnp.int32)
@@ -367,6 +380,156 @@ def dilate_lines(occ_rows: jnp.ndarray, cascades: int, grid_size: int
 # |d_axis| <= ~1.27, i.e. any camera with full horizontal FOV < ~103 deg
 # (callers check via `segment_march_dmax_ok`).
 SEGMENT_J = 8
+
+# windowed-occupancy geometry (see occupancy_windows / march_rays_train_window)
+WIN_B = 4       # window anchor stride in cells
+WIN_P = 8       # window extent in cells per axis (8^3 = 512 bits = 16 words)
+WIN_APRON = 2   # cells of apron on each side: window w covers [4w-2, 4w+6)
+WIN_WORDS = WIN_P ** 3 // 32
+
+
+def occupancy_windows(occ_grid: jnp.ndarray) -> jnp.ndarray:
+    """(C, G, G, G) uint8 -> (C*(G/4)^3, 16) uint32 packed 8^3-cell windows.
+
+    Window w = (wx, wy, wz) covers cells [4w - 2, 4w + 6) per axis — the 4^3
+    anchor brick plus a 2-cell apron.  Bit (lx*8 + ly)*8 + lz of the row is
+    cell 4w - 2 + (lx, ly, lz).  One 64-byte row gather therefore answers
+    occupancy for EVERY sample whose cell lies within one cell of any cell of
+    the anchor brick — the windowed marcher fetches one row per 8-step chain
+    interval instead of one z-line row per step (8x fewer gathers; gather
+    cost is per ROW on TPU, not per byte).  Overlap factor 8 in storage:
+    2 MB per cascade at G=128 — rebuilt with the grid every 16 steps.
+    """
+    C, G = occ_grid.shape[0], occ_grid.shape[1]
+    NW = G // WIN_B
+    pad = jnp.pad(occ_grid > 0,
+                  ((0, 0),) + ((WIN_APRON, WIN_P - WIN_B - WIN_APRON),) * 3)
+    idx = (WIN_B * jnp.arange(NW, dtype=jnp.int32)[:, None]
+           + jnp.arange(WIN_P, dtype=jnp.int32)[None, :]).reshape(-1)
+    a = jnp.take(pad, idx, axis=1)
+    a = jnp.take(a, idx, axis=2)
+    a = jnp.take(a, idx, axis=3)                      # (C, NW*8, NW*8, NW*8)
+    a = a.reshape(C, NW, WIN_P, NW, WIN_P, NW, WIN_P)
+    a = a.transpose(0, 1, 3, 5, 2, 4, 6).reshape(C * NW ** 3, WIN_P ** 3)
+    bits = a.reshape(-1, WIN_WORDS, 32).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return (bits * weights[None, None, :]).sum(axis=-1).astype(jnp.uint32)
+
+
+def _occ_window_chain(rays_o, rays_d, t0, KA, win_rows, *, scale, grid_size,
+                      dt_min):
+    """Occupancy bits for KA*J uniform chain steps starting at t0, one 64B
+    window gather per J=8-step interval.
+
+    Returns (occ (N, KA, J) bool, ts (N, KA, J) f32).  Valid under the
+    `segment_march_dmax_ok` direction bound (steps stay within one cell of
+    their interval midpoint)."""
+    N = rays_o.shape[0]
+    J = SEGMENT_J
+    G = grid_size
+    NW = G // WIN_B
+
+    c = jnp.arange(KA, dtype=jnp.float32)[None, :]
+    m_t = t0[:, None] + (c * J + 0.5 * (J - 1)) * dt_min        # (N, KA)
+    xyz_m = rays_o[:, None, :] + m_t[..., None] * rays_d[:, None, :]
+    u_m = (xyz_m / scale + 1.0) * 0.5 * G
+    n_m = jnp.clip(u_m, 0.0, G - 1.0).astype(jnp.int32)         # (N, KA, 3)
+    w = n_m >> 2                                                # anchor brick
+    widx = (w[..., 0] * NW + w[..., 1]) * NW + w[..., 2]
+    rows = win_rows[widx.reshape(-1)].reshape(N, KA, WIN_WORDS)
+
+    kk = (jnp.arange(KA, dtype=jnp.int32)[None, :, None] * J
+          + jnp.arange(J, dtype=jnp.int32)[None, None, :])      # (1, KA, J)
+    ts = t0[:, None, None] + kk.astype(jnp.float32) * dt_min    # (N, KA, J)
+    xyz = rays_o[:, None, None, :] + ts[..., None] * rays_d[:, None, None, :]
+    uf = (xyz / scale + 1.0) * 0.5 * G
+    n = jnp.clip(uf, 0.0, G - 1.0).astype(jnp.int32)            # (N, KA, J, 3)
+    local = jnp.clip(n - ((w[:, :, None, :] << 2) - WIN_APRON), 0, WIN_P - 1)
+    bit = (local[..., 0] * WIN_P + local[..., 1]) * WIN_P + local[..., 2]
+    word_idx = bit >> 5                                          # (N, KA, J)
+    word = jnp.zeros(bit.shape, jnp.uint32)
+    for wi in range(WIN_WORDS):
+        word = word | jnp.where(word_idx == wi, rows[:, :, wi:wi + 1],
+                                jnp.uint32(0))
+    occ = ((word >> (bit & 31).astype(jnp.uint32)) & jnp.uint32(1)) > 0
+    return occ, ts
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale", "grid_size", "max_samples", "pool_size",
+                     "chain_length"),
+)
+def march_rays_train_window(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    hits_t: jnp.ndarray,
+    noise: jnp.ndarray,
+    win_rows: jnp.ndarray,        # from occupancy_windows
+    *,
+    scale: float,
+    grid_size: int,
+    max_samples: int,
+    pool_size: int,
+    chain_length: int,
+) -> MarchResults:
+    """Windowed occupancy march (single cascade, uniform stepping).
+
+    Produces the SAME sample set as `march_rays_train` (bit-identical t
+    values) with ~J=8x fewer random-memory accesses: the dt-chain is cut
+    into intervals of 8 fine steps; the 8 steps of one interval span
+    < (J-1) * dt_min < 2 cells, so ONE 64-byte window row (gathered at the
+    interval midpoint's anchor brick) contains every step's occupancy bit —
+    extracted with pure lane math, no further memory traffic.  This
+    supersedes the two-level dilated-interval scheme (march_rays_train_
+    segments): no dilation false-positives, no top_k interval selection, and
+    exact per-step bits for the whole chain.  Validity requires the same
+    direction bound as the segment march (`segment_march_dmax_ok`): per-axis
+    travel over half an interval must stay under one cell.
+
+    Replaces the reference's DDA skip loop (raymarching.cu:225-233) on TPU.
+    """
+    N = rays_o.shape[0]
+    J = SEGMENT_J
+    K = -(-chain_length // J) * J
+    KA = K // J
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2.0 * scale / grid_size
+
+    t1 = hits_t[:, 0]
+    t2 = hits_t[:, 1]
+    hit = t1 >= 0
+    t0 = t1 + dt_min * noise                     # calc_dt == dt_min here
+
+    occ, ts = _occ_window_chain(
+        rays_o, rays_d, t0, KA, win_rows,
+        scale=scale, grid_size=grid_size, dt_min=dt_min)
+    ts = ts.reshape(N, K)
+    in_range = hit[:, None] & (ts >= 0) & (ts < t2[:, None])
+    occ = occ.reshape(N, K) & in_range                           # (N, K)
+
+    kk1 = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
+    per_ray_need = jnp.max(jnp.where(occ, kk1, 0), axis=1)       # (N,)
+    chain_demand = jnp.max(per_ray_need).astype(jnp.int32)
+    chain_demand_q = _q99(per_ray_need)
+
+    kk_all = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
+    (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
+     rm_counts) = _compact_to_pool(
+        occ, kk_all, t0, N, K, max_samples, pool_size, 0.0, dt_min, dt_max)
+
+    return MarchResults(
+        ts=pool_ts,
+        deltas=pool_dts,
+        ray_idx=pool_ray,
+        valid=pool_valid,
+        counts=in_pool_counts,
+        offsets=offsets,
+        total=total,
+        rm_counts=rm_counts,
+        chain_demand=chain_demand,
+        chain_demand_q=chain_demand_q,
+    )
 
 
 def segment_march_dmax_ok(directions, grid_size: int = 128,

@@ -75,7 +75,16 @@ class NeRFSystem:
         self._make_train_step = lambda sh: make_train_step(
             self.ngp, tcfg, self.rcfg, unit_exposure_rgb=unit_exp,
             batch_sharding=sh)
-        self.render_image = make_device_round_renderer(self.ngp, self.rcfg)
+        from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
+
+        test_window_ok = (
+            self.cfg.cascades == 1 and self.cfg.exp_step_factor == 0.0
+            and segment_march_dmax_ok(
+                self.test_dataset.directions,
+                grid_size=self.cfg.grid_size,
+                max_samples=self.rcfg.max_samples))
+        self.render_image = make_device_round_renderer(
+            self.ngp, self.rcfg, use_window=test_window_ok)
         self.lpips = LPIPSHook()
 
         # data-parallel mesh (all devices by default, reference --num_gpus)
@@ -109,10 +118,11 @@ class NeRFSystem:
             from ngp_pl_tpu.models.occupancy import grid_rows
 
             occ = jnp.asarray(grid)
-            occ_rows, dil_rows = grid_rows(occ, self.cfg.cascades,
-                                           self.cfg.grid_size)
+            occ_rows, dil_rows, win_rows = grid_rows(
+                occ, self.cfg.cascades, self.cfg.grid_size)
             self.grid_state = self.grid_state._replace(
-                occ_grid=occ, occ_rows=occ_rows, dil_rows=dil_rows)
+                occ_grid=occ, occ_rows=occ_rows, dil_rows=dil_rows,
+                win_rows=win_rows)
 
         self.poses = jnp.asarray(self.train_dataset.poses)
         self.directions = jnp.asarray(self.train_dataset.directions)
@@ -172,12 +182,16 @@ class NeRFSystem:
         from ngp_pl_tpu.ops.ray_march import SEGMENT_J, segment_march_dmax_ok
 
         self._seg_j = SEGMENT_J
-        self.segment_march = (
+        # windowed march (ops/ray_march.py:march_rays_train_window): one 64B
+        # occupancy-window gather per 8 chain steps, exact bits — supersedes
+        # the two-level segment march wherever the direction bound holds
+        self.window_march = (
             self.cfg.cascades == 1 and self.cfg.exp_step_factor == 0.0
             and segment_march_dmax_ok(
                 self.train_dataset.directions,
                 grid_size=self.cfg.grid_size,
                 max_samples=self.rcfg.max_samples))
+        self.segment_march = False
         k_a = -(-self.chain_full // SEGMENT_J)     # coarse intervals per ray
         self._interval_buckets = sorted({
             min(k_a, max(16, -(-int(k_a * f) // 8) * 8))
@@ -229,13 +243,14 @@ class NeRFSystem:
                 warmup=step_i < self.tcfg.grid_warmup_steps,
                 erode=self.erode,
             )
+        win = self.grid_state.win_rows if self.window_march else None
         if batch is None and self.rays_device is not None:
             self.state, metrics = self.train_step.device_variant(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
                 self._pool_mult, self.chain_length, self.n_intervals,
                 occ_rows=self.grid_state.occ_rows,
-                dil_rows=self.grid_state.dil_rows)
+                dil_rows=self.grid_state.dil_rows, win_rows=win)
         else:
             if batch is None:
                 batch = self.sample_batch()
@@ -244,7 +259,7 @@ class NeRFSystem:
                 self.directions, batch, self.key, self._pool_mult,
                 self.chain_length, self.n_intervals,
                 occ_rows=self.grid_state.occ_rows,
-                dil_rows=self.grid_state.dil_rows)
+                dil_rows=self.grid_state.dil_rows, win_rows=win)
         self._host_step = step_i + 1
         # re-bucket pool + chain from observed demand every update interval.
         # The demand vector is prefetched async and consumed one interval

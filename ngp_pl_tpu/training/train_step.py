@@ -98,8 +98,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
     use_pose = tcfg.optimize_ext
     use_exposure = tcfg.use_exposure
 
-    def loss_fn(trainable, occ_grid, occ_rows, dil_rows, poses_all,
-                directions, batch, key, pool_mult, chain_length, n_intervals):
+    def loss_fn(trainable, occ_grid, occ_rows, dil_rows, win_rows,
+                poses_all, directions, batch, key, pool_mult,
+                chain_length, n_intervals):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -126,7 +127,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             ngp, params, occ_grid, rays_o, rays_d, noise, bg,
             rcfg=rcfg, exposure=exposure, pool_mult=pool_mult,
             chain_length=chain_length, n_intervals=n_intervals,
-            occ_rows=occ_rows, dil_rows=dil_rows)
+            occ_rows=occ_rows, dil_rows=dil_rows, win_rows=win_rows)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -156,16 +157,17 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         }
         return loss, aux
 
-    def _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
-                   directions, batch, key, pool_mult, chain_length,
-                   n_intervals):
+    def _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
+                   poses_all, directions, batch, key, pool_mult,
+                   chain_length, n_intervals):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, occ_grid, occ_rows, dil_rows, poses_all, directions,
-            batch, key, pool_mult or None, chain_length, n_intervals)
+            trainable, occ_grid, occ_rows, dil_rows, win_rows, poses_all,
+            directions, batch, key, pool_mult or None, chain_length,
+            n_intervals)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
@@ -200,19 +202,20 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
              static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
                    key, pool_mult: int = 0, chain_length: int = 0,
-                   n_intervals: int = 0, occ_rows=None, dil_rows=None
+                   n_intervals: int = 0, occ_rows=None, dil_rows=None,
+                   win_rows=None
                    ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(key, state.step)
-        return _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
-                          directions, batch, key, pool_mult, chain_length,
-                          n_intervals)
+        return _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
+                          poses_all, directions, batch, key, pool_mult,
+                          chain_length, n_intervals)
 
     @partial(jax.jit,
              static_argnames=("pool_mult", "chain_length", "n_intervals"))
     def train_step_device(state: TrainState, occ_grid, poses_all, directions,
                           rays_store, key, pool_mult: int = 0,
                           chain_length: int = 0, n_intervals: int = 0,
-                          occ_rows=None, dil_rows=None
+                          occ_rows=None, dil_rows=None, win_rows=None
                           ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Fully on-device step: batch sampling happens INSIDE the program.
 
@@ -243,9 +246,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                  "rgb": payload[:, :3]}
         if use_exposure and rays_store.shape[-1] >= 4:
             batch["exposure"] = payload[:, 3:4]
-        return _step_core(state, occ_grid, occ_rows, dil_rows, poses_all,
-                          directions, batch, key, pool_mult, chain_length,
-                          n_intervals)
+        return _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
+                          poses_all, directions, batch, key, pool_mult,
+                          chain_length, n_intervals)
 
     train_step.device_variant = train_step_device
     return train_step

@@ -351,3 +351,85 @@ def test_march_precomputed_rows_identical():
                          occ_rows=occupancy_lines(occ), **kw)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_window_march_exactness():
+    """The windowed march must produce the identical sample pool as the plain
+    chain march: every fine step's occupancy bit is read exactly (from the
+    8^3 window row covering its cell) and fine t values live on the same
+    t0 + k*dt_min lattice."""
+    from ngp_pl_tpu.ops.ray_march import (
+        march_rays_train_window,
+        occupancy_windows,
+    )
+
+    G = 16
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        occ = (rng.random((1, G, G, G)) < [0.03, 0.2, 0.7][trial]
+               ).astype(np.uint8)
+        N = 32
+        d = rng.normal(size=(N, 3)) * np.float32([0.3, 0.3, 0.1]) + [0, 0, 1.0]
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        rays_o = np.tile(np.float32([[0.1, -0.05, -2.0]]), (N, 1))
+        inv = 1.0 / d
+        lo = (-0.5 - rays_o) * inv
+        hi = (0.5 - rays_o) * inv
+        t1 = np.minimum(lo, hi).max(1)
+        t2 = np.maximum(lo, hi).min(1)
+        ok = (t1 <= t2) & (t2 > 0)
+        hits = np.where(ok[:, None], np.stack([np.maximum(t1, 0.01), t2], -1),
+                        -np.ones((N, 2), np.float32)).astype(np.float32)
+        noise = rng.random(N).astype(np.float32)
+        win_rows = occupancy_windows(jnp.asarray(occ))
+        m_win = march_rays_train_window(
+            jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+            jnp.asarray(noise), win_rows,
+            scale=0.5, grid_size=G, max_samples=1024, pool_size=N * 64,
+            chain_length=1024)
+        m_ref = march_rays_train(
+            jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+            jnp.asarray(occ), jnp.asarray(noise),
+            cascades=1, scale=0.5, exp_step_factor=0.0, grid_size=G,
+            max_samples=1024, pool_size=N * 64, chain_length=1024,
+            skip_empty_span=False)
+        assert int(m_win.total) == int(m_ref.total)
+        np.testing.assert_array_equal(np.asarray(m_win.counts),
+                                      np.asarray(m_ref.counts))
+        tot = int(m_ref.total)
+        np.testing.assert_allclose(np.asarray(m_win.ts[:tot]),
+                                   np.asarray(m_ref.ts[:tot]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m_win.ray_idx[:tot]),
+                                      np.asarray(m_ref.ray_idx[:tot]))
+        assert int(m_win.chain_demand) == int(m_ref.chain_demand)
+
+
+def test_occupancy_windows_bits():
+    """Every window bit equals the underlying cell's occupancy (or 0 outside
+    the grid)."""
+    from ngp_pl_tpu.ops.ray_march import (
+        WIN_APRON,
+        WIN_B,
+        WIN_P,
+        occupancy_windows,
+    )
+
+    G = 16
+    rng = np.random.default_rng(3)
+    occ = (rng.random((1, G, G, G)) < 0.3).astype(np.uint8)
+    rows = np.asarray(occupancy_windows(jnp.asarray(occ)))
+    NW = G // WIN_B
+    for w_flat in rng.integers(0, NW ** 3, 16):
+        wx, wy, wz = w_flat // (NW * NW), (w_flat // NW) % NW, w_flat % NW
+        row = rows[w_flat]
+        for b in rng.integers(0, WIN_P ** 3, 32):
+            lx, ly, lz = b // (WIN_P * WIN_P), (b // WIN_P) % WIN_P, b % WIN_P
+            cx = 4 * wx - WIN_APRON + lx
+            cy = 4 * wy - WIN_APRON + ly
+            cz = 4 * wz - WIN_APRON + lz
+            expect = 0
+            if 0 <= cx < G and 0 <= cy < G and 0 <= cz < G:
+                expect = int(occ[0, cx, cy, cz])
+            got = (row[b // 32] >> (b % 32)) & 1
+            assert got == expect, (wx, wy, wz, lx, ly, lz)
