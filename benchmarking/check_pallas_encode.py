@@ -93,12 +93,24 @@ def main():
     timeit("Pallas fwd", f_pl, table, w1)
 
     gbig = jax.random.normal(jax.random.PRNGKey(5), (N, 64))
-    g_ref = jax.jit(jax.grad(
-        lambda t, w: (_encode_mlp_cv(spec, False, x, t, w) * gbig).sum(),
-        argnums=(0, 1)))
-    g_pl = jax.jit(jax.grad(
-        lambda t, w: (_encode_mlp_pl_cv(spec, bn, x, t, w) * gbig).sum(),
-        argnums=(0, 1)))
+
+    # reduce grads to scalars INSIDE jit (a full d_table return would fence
+    # a 134MB device->host transfer through the tunnel into the timing), via
+    # vdot so the scatter-add cannot be algebraically folded into a plain sum
+    @jax.jit
+    def g_ref(t, w):
+        gt, gw = jax.grad(
+            lambda t, w: (_encode_mlp_cv(spec, False, x, t, w) * gbig).sum(),
+            argnums=(0, 1))(t, w)
+        return jnp.vdot(gt, gt) + jnp.vdot(gw, gw)
+
+    @jax.jit
+    def g_pl(t, w):
+        gt, gw = jax.grad(
+            lambda t, w: (_encode_mlp_pl_cv(spec, bn, x, t, w) * gbig).sum(),
+            argnums=(0, 1))(t, w)
+        return jnp.vdot(gt, gt) + jnp.vdot(gw, gw)
+
     timeit("XLA fwd+bwd", g_ref, table, w1big)
     timeit("Pallas fwd+bwd", g_pl, table, w1)
 

@@ -89,5 +89,59 @@ def main():
     timeit("mlp-stack fwd (materialize outs)", fwd_mat, params, h1)
 
 
+
+def bisect():
+    """Bisect the field fwd+bwd gap: encode -> density -> full forward."""
+    N = 262144
+    cfg = NGPConfig(scale=0.5)
+    ngp = NGP(cfg, need_x_grad=False)
+    params = ngp.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    xyz = jax.random.uniform(key, (N, 3), jnp.float32, -0.5, 0.5)
+    d = jax.random.normal(key, (N, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    from ngp_pl_tpu.ops.hash_encoding import hash_encode_mlp
+    xn = (xyz + cfg.scale) / (2 * cfg.scale)
+
+    @jax.jit
+    def enc_grad(p):
+        def f(p):
+            return hash_encode_mlp(xn, p["hash_table"], p["sigma_mlp"][0],
+                                   ngp.spec, need_x_grad=False).sum()
+        gt = jax.grad(f)(p)["hash_table"]
+        return jnp.vdot(gt, gt)
+
+    @jax.jit
+    def enc_grad_real_g(p):
+        # non-constant cotangent: d_h1 = cos(h1) instead of ones
+        def f(p):
+            h1 = hash_encode_mlp(xn, p["hash_table"], p["sigma_mlp"][0],
+                                 ngp.spec, need_x_grad=False)
+            return jnp.sin(h1).sum()
+        gt = jax.grad(f)(p)["hash_table"]
+        return jnp.vdot(gt, gt)
+
+    @jax.jit
+    def dens_grad(p):
+        def f(p):
+            return ngp.density(p, xyz).sum()
+        gt = jax.grad(f)(p)["hash_table"]
+        return jnp.vdot(gt, gt)
+
+    @jax.jit
+    def fwd_grad(p):
+        def f(p):
+            s, r = ngp.forward(p, xyz, d)
+            return s.sum() + r.sum()
+        gt = jax.grad(f)(p)["hash_table"]
+        return jnp.vdot(gt, gt)
+
+    timeit("bisect: encode fwd+bwd (g=ones)", enc_grad, params)
+    timeit("bisect: encode fwd+bwd (g=cos h1)", enc_grad_real_g, params)
+    timeit("bisect: density fwd+bwd", dens_grad, params)
+    timeit("bisect: forward fwd+bwd", fwd_grad, params)
+
+
 if __name__ == "__main__":
     main()
+    bisect()

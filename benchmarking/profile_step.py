@@ -125,7 +125,8 @@ def main():
         def f(p):
             s, r = ngp.forward(p, xyz, d_s)
             return s.sum() + r.sum()
-        return jax.grad(f)(params)["hash_table"].sum()
+        gt = jax.grad(f)(params)["hash_table"]
+        return jnp.vdot(gt, gt)
     timeit("field fwd+bwd (pool)", field_grad, params)
 
     # 5. fused encode+mlp fwd / fwd+bwd
@@ -144,7 +145,8 @@ def main():
         def f(p):
             return hash_encode_mlp(xn, p["hash_table"], p["sigma_mlp"][0],
                                    ngp.spec, need_x_grad=False).sum()
-        return jax.grad(f)(params)["hash_table"].sum()
+        gt = jax.grad(f)(params)["hash_table"]
+        return jnp.vdot(gt, gt)
     timeit("encode+l1 fwd+bwd (pool)", enc_grad, params)
 
     # 6. composite fwd+bwd
@@ -182,8 +184,19 @@ def main():
                 jnp.ones((3,), jnp.float32), rcfg=rcfg, pool_mult=pool_mult,
                 chain_length=chain, win_rows=win_rows)
             return out["rgb"].sum()
-        return jax.grad(f)(params)["hash_table"].sum()
+        gt = jax.grad(f)(params)["hash_table"]
+        return jnp.vdot(gt, gt)
     timeit("render fwd+bwd", render_grad, params, occ, win_rows)
+
+    # 8b. density-grid update (runs every 16 steps; amortized cost)
+    import jax.random as jrandom
+
+    def grid_update():
+        return system.update_density_grid(
+            params, system.grid_state, jrandom.PRNGKey(7),
+            system.density_threshold, warmup=False, erode=False
+        ).mean_density
+    timeit("grid update (every 16 steps)", grid_update, n=5)
 
     # 9. optimizer update alone
     from ngp_pl_tpu.training.train_step import make_optimizer

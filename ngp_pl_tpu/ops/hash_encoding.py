@@ -471,6 +471,17 @@ def _meta_p(local, frac):
     return jnp.concatenate([p, jnp.zeros_like(p[..., :1])], axis=-1)
 
 
+def _meta_T(local, frac, dup: int):
+    """(L, N, 3) local/frac -> (L, dup*4, N/dup) transposed p-values.
+
+    meta_T[l, d*4+a, m] = p[l, m*dup + d, a].  N on the lane axis keeps the
+    kernel input un-padded (a (L, N, 4) minor-dim-4 buffer would be
+    lane-padded 4 -> 128, a 32x read amplification)."""
+    p4 = _meta_p(local, frac)                                   # (L, N, 4)
+    L, N = p4.shape[0], p4.shape[1]
+    return p4.reshape(L, N // dup, dup * 4).transpose(0, 2, 1)
+
+
 def _pick_bn(n: int) -> int:
     for bn in (4096, 2048, 1024, 512, 256, 128):
         if n % bn == 0:
@@ -489,29 +500,39 @@ def _encode_mlp_pl_fwd(spec, bn, x, table, w1):
 
     N = x.shape[0]
     L, W = spec.n_levels, spec.row_width
+    dup = 2 if W == 64 else 1
     xc = jnp.clip(x, 0.0, 1.0)
     slot, local, frac = _slots_local_frac_lm(xc, spec)
-    meta = _meta_p(local, frac)
+    meta_T = _meta_T(local, frac, dup)
     rows = table[slot.reshape(-1)].reshape(L, N, W)
-    h1, feats = encode_mlp_fwd_pallas(rows, meta, expand_w1(w1, spec),
-                                      F=spec.n_features, bn=bn)
-    return h1, (slot, meta, feats, w1)
+    h1, ft2 = encode_mlp_fwd_pallas(rows, meta_T, expand_w1(w1, spec),
+                                    F=spec.n_features, bn=bn)
+    return h1, (slot, meta_T, ft2, w1)
 
 
 def _encode_mlp_pl_bwd(spec, bn, res, g):
     from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_bwd_pallas
 
-    slot, meta, feats, w1 = res
+    slot, meta_T, ft2, w1 = res
     L, F, W = spec.n_levels, spec.n_features, spec.row_width
+    dup = 2 if W == 64 else 1
+    H = g.shape[-1]
+    M = meta_T.shape[-1]
+    N = M * dup
 
-    # h1 = feats_flat @ w1, so dL/dw1 = feats^T g:
-    # (L, N, F) x (N, H) over N -> (L, F, H) -> (L*F, H)
-    d_w1 = jax.lax.dot_general(
-        feats.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(L * F, -1)
+    # h1 = feats_flat @ w1, so dL/dw1 = feats^T g, from the PACKED residual:
+    # ft2 (L, dup*F, M) x g_k (M, dup*H) over M -> (L, dup*F, dup*H), then
+    # sum the sample-parity-diagonal blocks.  Both operands have M on the
+    # lane axis — no relayout.
+    g_k = g.reshape(M, dup * H)
+    out2 = jax.lax.dot_general(
+        ft2.astype(jnp.bfloat16), g_k.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o = out2.reshape(L, dup, F, dup, H)
+    d_w1 = sum(o[:, d, :, d, :] for d in range(dup)).reshape(L * F, H)
 
-    d_rows = encode_mlp_bwd_pallas(meta, expand_w1(w1, spec), g,
+    d_rows = encode_mlp_bwd_pallas(meta_T, expand_w1(w1, spec), g,
                                    F=spec.n_features, bn=bn)
 
     # per-level scatter-adds (each target slice stays small — fast path)
@@ -521,7 +542,7 @@ def _encode_mlp_pl_bwd(spec, bn, res, g):
             jnp.zeros((spec.sizes[l], W), jnp.float32)
             .at[slot[l] - spec.offsets[l]].add(d_rows[l]))
     d_table = jnp.concatenate(parts, axis=0)
-    d_x = jnp.zeros(meta.shape[1:2] + (3,), jnp.float32)
+    d_x = jnp.zeros((N, 3), jnp.float32)
     return d_x, d_table, d_w1
 
 

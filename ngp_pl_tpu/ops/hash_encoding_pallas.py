@@ -9,8 +9,8 @@ HBM costs ~2x more than the row gather itself (measured: gather 15 ms,
 
 These kernels keep everything after the gather in VMEM:
 
-  fwd:  h1[n,:]    = sum_l (rows[l,n,:] * wrow(meta[l,n])) @ w1big[l]
-        feats[l,n] = per-level encoded features (residual: dL/dw1 = feats^T g)
+  fwd:  h1[n,:]   = sum_l (rows[l,n,:] * wrow(meta[l,n])) @ w1big[l]
+        ft2[:,m]  = per-level encoded features (residual: dL/dw1 = ft2 g)
   bwd:  d_rows[l,n,:] = (g[n,:] @ w1big[l].T) * wrow(meta[l,n])
 
 where `meta[l,n] = local + frac` per axis (3 scalars), and the trilinear
@@ -21,6 +21,14 @@ corner coordinates:  w_axis(lane) = max(0, 1 - |c_axis(lane) - p_axis|)
 The per-lane corner coordinates and the feature-channel selector are passed
 in as tiny constant-indexed inputs (fetched into VMEM once), keeping iota /
 integer div-mod chains out of the per-block body.
+
+Layout rules (v5e-measured): a narrow MINOR dimension is lane-padded to 128,
+so a (L, N, 4) fp32 tensor physically occupies 32x its logical bytes and
+streaming it through a kernel costs a gigabyte, not 67 MB.  Everything small
+therefore travels TRANSPOSED with N on the lane axis:
+
+  meta_T (L, dup*4, N/dup)  — p-values, built by the caller in one pass
+  ft2    (L*dup*F, N/dup)   — per-level features residual (kernel output)
 
 Layout: F=2 brick rows are 64 floats — half a native 128-lane tile — so all
 tensors are processed as PAIRS of samples per 128-lane row (a free row-major
@@ -85,8 +93,16 @@ def feat_selector(F: int, W: int, dup: int = 1) -> np.ndarray:
     return sel
 
 
+def unpack_feats(ft2: jnp.ndarray, L: int, F: int, dup: int) -> jnp.ndarray:
+    """(L, dup*F, N/dup) packed features -> (L, N, F)."""
+    M = ft2.shape[-1]
+    return ft2.reshape(L, dup, F, M).transpose(0, 3, 1, 2).reshape(
+        L, M * dup, F)
+
+
 def _wrow(meta_blk, tab_ref, paired: bool):
-    """meta (bn, 8|4) p-values + lane table -> (bn, W) trilinear weights."""
+    """meta (8|4, rb) p-values + lane table -> (rb, W) trilinear weights."""
+    m2 = jnp.transpose(meta_blk)            # (rb, 8|4)
     cx = tab_ref[0:1, :]
     cy = tab_ref[1:2, :]
     cz = tab_ref[2:3, :]
@@ -94,13 +110,13 @@ def _wrow(meta_blk, tab_ref, paired: bool):
     if paired:
         # lanes [0, W/2) weight the even sample, [W/2, W) the odd one
         hi = tab_ref[4:5, :]
-        px = meta_blk[:, 0:1] * (1 - hi) + meta_blk[:, 4:5] * hi
-        py = meta_blk[:, 1:2] * (1 - hi) + meta_blk[:, 5:6] * hi
-        pz = meta_blk[:, 2:3] * (1 - hi) + meta_blk[:, 6:7] * hi
+        px = m2[:, 0:1] * (1 - hi) + m2[:, 4:5] * hi
+        py = m2[:, 1:2] * (1 - hi) + m2[:, 5:6] * hi
+        pz = m2[:, 2:3] * (1 - hi) + m2[:, 6:7] * hi
     else:
-        px = meta_blk[:, 0:1]
-        py = meta_blk[:, 1:2]
-        pz = meta_blk[:, 2:3]
+        px = m2[:, 0:1]
+        py = m2[:, 1:2]
+        pz = m2[:, 2:3]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - px))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy - py))
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(cz - pz))
@@ -112,8 +128,11 @@ def _fwd_kernel(rows_ref, meta_ref, w1_ref, tab_ref, sel_ref, h1_ref, ft_ref,
     l = pl.program_id(1)
     wrow = _wrow(meta_ref[0], tab_ref, paired)
     wr = (rows_ref[0] * wrow).astype(jnp.bfloat16)
-    ft_ref[0] = jnp.dot(wr, sel_ref[...].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
+    # ft block (Fk, rb): contract the lane axis of sel (Wk, Fk) with wr
+    ft_ref[0] = jax.lax.dot_general(
+        sel_ref[...].astype(jnp.bfloat16), wr,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     acc = jnp.dot(wr, w1_ref[0].astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
 
@@ -144,11 +163,11 @@ def make_w1_dbl(w1big: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("F", "bn", "interpret"))
-def encode_mlp_fwd_pallas(rows, meta, w1big, *, F: int, bn: int = 4096,
+def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
                           interpret: bool = False):
-    """rows (L, N, W) f32, meta (L, N, 4) f32, w1big (L, W, H) f32
-    -> h1 (N, H) f32, feats (L, N, F) f32 (the per-level encoded features —
-    the residual for dL/dw1 = feats^T g).  N must be a multiple of bn (even).
+    """rows (L, N, W) f32, meta_T (L, dup*4, N/dup) f32, w1big (L, W, H) f32
+    -> h1 (N, H) f32, ft2 (L, dup*F, N/dup) f32 packed per-level features
+    (the residual for dL/dw1; unpack with `unpack_feats`).  N % bn == 0.
     """
     L, N, W = rows.shape
     H = w1big.shape[-1]
@@ -157,48 +176,48 @@ def encode_mlp_fwd_pallas(rows, meta, w1big, *, F: int, bn: int = 4096,
     dup = 2 if paired else 1
     rb, Wk, Hk, Fk = bn // dup, dup * W, dup * H, dup * F
     rows_k = rows.reshape(L, N // dup, Wk)
-    meta_k = meta.reshape(L, N // dup, dup * META_W)
     w1_k = make_w1_dbl(w1big) if paired else w1big
     tab = jnp.asarray(lane_table(F, Wk, dup))
     sel = jnp.asarray(feat_selector(F, Wk, dup))
     grid = (N // bn, L)
-    h1p, ftp = pl.pallas_call(
+    h1p, ft2 = pl.pallas_call(
         functools.partial(_fwd_kernel, paired=paired),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rb, Wk), lambda n, l: (l, n, 0)),
-            pl.BlockSpec((1, rb, dup * META_W), lambda n, l: (l, n, 0)),
+            pl.BlockSpec((1, dup * META_W, rb), lambda n, l: (l, 0, n)),
             pl.BlockSpec((1, Wk, Hk), lambda n, l: (l, 0, 0)),
             pl.BlockSpec((8, Wk), lambda n, l: (0, 0)),
             pl.BlockSpec((Wk, Fk), lambda n, l: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((rb, Hk), lambda n, l: (n, 0)),
-            pl.BlockSpec((1, rb, Fk), lambda n, l: (l, n, 0)),
+            pl.BlockSpec((1, Fk, rb), lambda n, l: (l, 0, n)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N // dup, Hk), jnp.float32),
-            jax.ShapeDtypeStruct((L, N // dup, Fk), jnp.float32),
+            jax.ShapeDtypeStruct((L, Fk, N // dup), jnp.float32),
         ],
         interpret=interpret,
-    )(rows_k, meta_k, w1_k, tab, sel)
-    return h1p.reshape(N, H), ftp.reshape(L, N, F)
+    )(rows_k, meta_T, w1_k, tab, sel)
+    return h1p.reshape(N, H), ft2
 
 
 @functools.partial(jax.jit, static_argnames=("F", "bn", "interpret"))
-def encode_mlp_bwd_pallas(meta, w1big, g, *, F: int, bn: int = 4096,
+def encode_mlp_bwd_pallas(meta_T, w1big, g, *, F: int, bn: int = 4096,
                           interpret: bool = False):
-    """meta (L, N, 4), w1big (L, W, H), g (N, H) -> d_rows (L, N, W) f32.
+    """meta_T (L, dup*4, N/dup), w1big (L, W, H), g (N, H)
+    -> d_rows (L, N, W) f32.
 
     The g block is indexed by n only, so the L consecutive inner grid steps
     reuse one fetched block."""
-    L, N = meta.shape[0], meta.shape[1]
+    L = meta_T.shape[0]
     W, H = w1big.shape[1], w1big.shape[2]
-    assert N % bn == 0 and bn % 2 == 0, (N, W, bn)
     paired = W == LANE_W
     dup = 2 if paired else 1
+    N = meta_T.shape[-1] * dup
+    assert N % bn == 0 and bn % 2 == 0, (N, W, bn)
     rb, Wk, Hk = bn // dup, dup * W, dup * H
-    meta_k = meta.reshape(L, N // dup, dup * META_W)
     g_k = g.reshape(N // dup, Hk)
     w1_k = make_w1_dbl(w1big) if paired else w1big
     tab = jnp.asarray(lane_table(F, Wk, dup))
@@ -207,7 +226,7 @@ def encode_mlp_bwd_pallas(meta, w1big, g, *, F: int, bn: int = 4096,
         functools.partial(_bwd_kernel, paired=paired),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rb, dup * META_W), lambda n, l: (l, n, 0)),
+            pl.BlockSpec((1, dup * META_W, rb), lambda n, l: (l, 0, n)),
             pl.BlockSpec((1, Wk, Hk), lambda n, l: (l, 0, 0)),
             pl.BlockSpec((rb, Hk), lambda n, l: (n, 0)),
             pl.BlockSpec((8, Wk), lambda n, l: (0, 0)),
@@ -215,5 +234,5 @@ def encode_mlp_bwd_pallas(meta, w1big, g, *, F: int, bn: int = 4096,
         out_specs=pl.BlockSpec((1, rb, Wk), lambda n, l: (l, n, 0)),
         out_shape=jax.ShapeDtypeStruct((L, N // dup, Wk), jnp.float32),
         interpret=interpret,
-    )(meta_k, w1_k, g_k, tab)
+    )(meta_T, w1_k, g_k, tab)
     return drows.reshape(L, N, W)

@@ -6,7 +6,7 @@ import numpy as np
 
 from ngp_pl_tpu.ops.hash_encoding import (
     _encode_mlp_cv,
-    _meta_p,
+    _meta_T,
     _slots_local_frac_lm,
     expand_w1,
     init_hash_table,
@@ -15,6 +15,7 @@ from ngp_pl_tpu.ops.hash_encoding import (
 from ngp_pl_tpu.ops.hash_encoding_pallas import (
     encode_mlp_bwd_pallas,
     encode_mlp_fwd_pallas,
+    unpack_feats,
 )
 
 
@@ -32,11 +33,13 @@ def test_fwd_kernel_matches_xla():
     spec, table, w1big, x = _setup()
     N = x.shape[0]
     L, W = spec.n_levels, spec.row_width
+    dup = 2 if W == 64 else 1
     slot, local, frac = _slots_local_frac_lm(jnp.clip(x, 0, 1), spec)
-    meta = _meta_p(local, frac)
+    meta = _meta_T(local, frac, dup)
     rows = table[slot.reshape(-1)].reshape(L, N, W)
-    h1, feats = encode_mlp_fwd_pallas(rows, meta, w1big, F=spec.n_features,
-                                      bn=128, interpret=True)
+    h1, ft2 = encode_mlp_fwd_pallas(rows, meta, w1big, F=spec.n_features,
+                                    bn=128, interpret=True)
+    feats = unpack_feats(ft2, L, spec.n_features, dup)
     h_ref = np.asarray(_encode_mlp_cv(spec, False, x, table, w1big))
     scale = np.abs(h_ref).max() + 1e-9
     np.testing.assert_allclose(np.asarray(h1) / scale, h_ref / scale,
@@ -56,8 +59,9 @@ def test_bwd_kernel_matches_autodiff():
     spec, table, w1big, x = _setup()
     N = x.shape[0]
     L, W = spec.n_levels, spec.row_width
+    dup = 2 if W == 64 else 1
     slot, local, frac = _slots_local_frac_lm(jnp.clip(x, 0, 1), spec)
-    meta = _meta_p(local, frac)
+    meta = _meta_T(local, frac, dup)
     g = jax.random.normal(jax.random.PRNGKey(3), (N, w1big.shape[-1]))
 
     d_rows = encode_mlp_bwd_pallas(meta, w1big, g, F=spec.n_features,
