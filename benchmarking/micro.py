@@ -147,13 +147,15 @@ def main():
     from ngp_pl_tpu.ops.ray_march import _compact_to_pool
     B, K = 8192, 896
     occ = jnp.asarray(rng.random((B, K)) < 0.3)
-    ts = jnp.cumsum(jnp.ones((B, K)), axis=1) * 0.001
+    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+    t0 = jnp.zeros((B,), jnp.float32)
 
     @jax.jit
-    def compact(occ, ts):
-        out = _compact_to_pool(occ, ts, B, K, 1024, 262144, 0.0, 0.001, 0.01)
+    def compact(occ, kk, t0):
+        out = _compact_to_pool(occ, kk, t0, B, K, 1024, 262144, 0.0,
+                               0.001, 0.01)
         return out[0].sum() + out[6]
-    timeit("compact_to_pool (8192x896 -> 262144)", compact, occ, ts)
+    timeit("compact_to_pool (8192x896 -> 262144)", compact, occ, kk, t0)
 
     # encode fwd decomposition
     from ngp_pl_tpu.ops.hash_encoding import (

@@ -110,12 +110,16 @@ class TrainConfig:
     # model (opt.py:18-22)
     scale: float = 0.5
     use_exposure: bool = False
-    # hash-table geometry (reference hard-codes L=16 F=2 T=2^19,
-    # networks.py:32-56).  (L=8, F=4) is the TPU-preferred equal-budget
-    # variant: 108-float brick rows fill one native 128-lane tile, halving
-    # the per-sample gather/scatter row count of the encoder
-    n_levels: int = 16
-    n_features: int = 2
+    # hash-table geometry.  The reference hard-codes (L=16, F=2, T=2^19)
+    # (networks.py:32-56); the default here is the equal-parameter TPU
+    # variant (L=8, F=4): 108-float brick rows fill one native 128-lane
+    # tile, halving the encoder's per-sample gather/scatter row count.
+    # Measured on the procedural scene (benchmarking/ablate_geom.py,
+    # 1536 steps): L16F2 79.8k rays/s psnr 30.88 ssim 0.937 vs
+    # L8F4 142.3k rays/s psnr 30.82 ssim 0.939.  Pass
+    # `--n_levels 16 --n_features 2` for the exact reference geometry.
+    n_levels: int = 8
+    n_features: int = 4
     log2_hashmap_size: int = 19
     # loss (opt.py:24-29, losses.py:42-45)
     distortion_loss_w: float = 0.0
