@@ -62,18 +62,20 @@ def composite_train(
     w = jnp.where(vmask & keep, alpha * T, 0.0)
 
     seg = jnp.where(vmask, ray_idx, n_rays)
-    opacity = jax.ops.segment_sum(w, seg, num_segments=n_rays + 1)[:-1]
-    depth = jax.ops.segment_sum(w * ts, seg, num_segments=n_rays + 1)[:-1]
-    rgb = jax.ops.segment_sum(w[:, None] * rgbs, seg, num_segments=n_rays + 1)[:-1]
-    vr_samples = jax.ops.segment_sum(
-        (vmask & keep).astype(jnp.int32), seg, num_segments=n_rays + 1)[:-1]
+    # one 8-lane payload row per sample -> ONE segment scatter-add (scatter
+    # cost on TPU is per input ROW, independent of row width)
+    payload = jnp.stack(
+        [w, w * ts, w * rgbs[:, 0], w * rgbs[:, 1], w * rgbs[:, 2],
+         (vmask & keep).astype(jnp.float32), jnp.zeros_like(w),
+         jnp.zeros_like(w)], axis=1)                          # (P, 8)
+    sums = jax.ops.segment_sum(payload, seg, num_segments=n_rays + 1)[:-1]
 
     return {
-        "opacity": opacity,
-        "depth": depth,
-        "rgb": rgb,
+        "opacity": sums[:, 0],
+        "depth": sums[:, 1],
+        "rgb": sums[:, 2:5],
         "ws": w,
-        "vr_samples": vr_samples,
+        "vr_samples": sums[:, 5].astype(jnp.int32),
     }
 
 

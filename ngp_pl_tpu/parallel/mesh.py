@@ -16,6 +16,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up (replaces torch.distributed/NCCL init that
+    Lightning performs implicitly, reference train.py:271-272).
+
+    On Cloud TPU pods `jax.distributed.initialize()` auto-discovers the
+    coordinator; elsewhere pass coordinator/num_processes/process_id (or the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars).
+    Grad psums ride ICI within a slice and DCN across hosts — same jitted
+    step, no code change.  Returns this host's process index.  No-op for
+    single-process runs (the common case) — call only when a pod run is
+    requested (train.py --multihost).
+    """
+    kw = {}
+    if coordinator_address:
+        kw = dict(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+    return jax.process_index()
+
+
 def data_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(devices, (axis,))

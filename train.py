@@ -18,8 +18,18 @@ from ngp_pl_tpu.training.system import NeRFSystem
 def main():
     parser = argparse.ArgumentParser()
     add_train_args(parser)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for a multi-host "
+                             "pod run (reference: Lightning DDP spawn)")
     args = parser.parse_args()
     tcfg = config_from_args(args)
+
+    if args.multihost:
+        from ngp_pl_tpu.parallel.mesh import init_distributed
+
+        proc = init_distributed()
+        print(f"multihost: process {proc} of "
+              f"{__import__('jax').process_count()}")
 
     system = NeRFSystem(tcfg)
     ckpt_dir = f"ckpts/{tcfg.dataset_name}/{tcfg.exp_name}"
