@@ -35,7 +35,7 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", 8192))
     steps_warm = int(os.environ.get("BENCH_WARM_STEPS", 384))
-    steps_meas = int(os.environ.get("BENCH_STEPS", 200))
+    steps_meas = int(os.environ.get("BENCH_STEPS", 192))
 
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=batch_size,
                        num_epochs=30, exp_name="bench", no_save_test=True)
@@ -54,13 +54,16 @@ def main():
         return float(np.asarray(metrics["loss"]))
 
     # converge occupancy / pool & chain buckets / lr into the steady state
-    # the reference spends ~95% of its training budget in
+    # the reference spends ~95% of its training budget in.  Steps run as
+    # scanned 16-step blocks (one device dispatch per grid-update interval).
+    nb = tcfg.grid_update_interval
     t_w = time.time()
-    for i in range(steps_warm):
-        m = system.step()
-        if (i + 1) % 64 == 0:
+    for i in range(steps_warm // nb):
+        m = system.step_block()
+        if (i + 1) % 4 == 0:
             fence(m)
-            print(f"warm {i+1}/{steps_warm} {(time.time()-t_w)/64*1e3:.0f}ms/step"
+            print(f"warm {(i+1)*nb}/{steps_warm} "
+                  f"{(time.time()-t_w)/(4*nb)*1e3:.0f}ms/step"
                   f" pool x{system._pool_mult} chain {system.chain_length}"
                   f" n_int {system.n_intervals}",
                   file=sys.stderr, flush=True)
@@ -70,13 +73,13 @@ def main():
     # pin the jit variants: a demand blip flipping a pool/chain bucket would
     # otherwise compile a fresh XLA program inside the timed window
     system.freeze_buckets = True
-    for i in range(16):
-        m = system.step()
+    m = system.step_block()
     fence(m)
 
+    steps_meas = (steps_meas // nb) * nb
     t0 = time.time()
-    for i in range(steps_meas):
-        m = system.step()
+    for i in range(steps_meas // nb):
+        m = system.step_block()
     fence(m)
     dt = time.time() - t0
 

@@ -95,5 +95,100 @@ def main():
     timeit("march_rays_train_window (full)", full, win_rows)
 
 
+def compact_bisect():
+    """Time cumulative prefixes of _compact_to_pool's graph."""
+    import math
+
+    N, K = 8192, 896
+    max_samples, pool_size = 1024, 262144
+    dt_min = math.sqrt(3.0) / max_samples
+    dt_max = 2 * dt_min
+    rng = np.random.default_rng(0)
+    occ0 = jnp.asarray(rng.random((N, K)) < 0.25)
+    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
+    t0v = jnp.zeros((N,), jnp.float32)
+
+    GRP = 32
+    NG = N * K // GRP
+    blocks = max(2 * (pool_size // GRP), 1)
+    P = pool_size
+
+    def stage1(occ, t0):
+        rm_counts = occ.sum(axis=1, dtype=jnp.int32)
+        counts = rm_counts
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        total = jnp.minimum(jnp.sum(counts), pool_size).astype(jnp.int32)
+        occ_g = occ.reshape(NG, GRP)
+        lane_w = (jnp.uint32(1) << jnp.arange(GRP, dtype=jnp.uint32))
+        bits = (occ_g.astype(jnp.uint32) * lane_w[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+        grp_any = bits != 0
+        grp_rank = jnp.cumsum(grp_any.astype(jnp.int32)) - grp_any
+        tgt = jnp.where(grp_any & (grp_rank < blocks), grp_rank, blocks)
+        ray_of_grp = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None],
+            (N, K // GRP)).reshape(NG)
+        t0_of_grp = jnp.broadcast_to(t0[:, None], (N, K // GRP)).reshape(NG)
+        n_sub = max(GRP // 8, 1)
+        kb = kk.reshape(NG, GRP)[:, ::8][:, :n_sub]
+        payload = jnp.concatenate(
+            [ray_of_grp[:, None],
+             jax.lax.bitcast_convert_type(bits, jnp.int32)[:, None],
+             kb,
+             jax.lax.bitcast_convert_type(
+                 t0_of_grp.astype(jnp.float32), jnp.int32)[:, None],
+             jnp.zeros((NG, 1), jnp.int32)], axis=1)
+        staged = jnp.zeros((blocks, 8), jnp.int32).at[tgt].set(
+            payload, mode="drop")
+        return staged, offsets, counts, total
+
+    @jax.jit
+    def upto_bits(occ, t0):
+        occ_g = occ.reshape(NG, GRP)
+        lane_w = (jnp.uint32(1) << jnp.arange(GRP, dtype=jnp.uint32))
+        bits = (occ_g.astype(jnp.uint32) * lane_w[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+        return bits.sum()
+    timeit("compact: bits packing only", upto_bits, occ0, t0v)
+
+    @jax.jit
+    def upto_stage1(occ, t0):
+        staged, offsets, counts, total = stage1(occ, t0)
+        return staged.sum() + total
+    timeit("compact: stage1 (scatter descriptors)", upto_stage1, occ0, t0v)
+
+    @jax.jit
+    def full_c(occ, t0):
+        from ngp_pl_tpu.ops.ray_march import _compact_to_pool
+        out = _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
+                               0.0, dt_min, dt_max)
+        return out[0].sum() + out[6]
+    timeit("compact: full", full_c, occ0, t0v)
+
+    # stage 2 in isolation (feed stage1 outputs as inputs)
+    staged, offsets, counts, total = jax.jit(stage1)(occ0, t0v)
+    staged = jax.block_until_ready(staged)
+
+    @jax.jit
+    def stage2(staged, offsets, counts, total, t0):
+        s_bits = jax.lax.bitcast_convert_type(staged[:, 1], jnp.uint32)
+        cnt_b = jax.lax.population_count(s_bits).astype(jnp.int32)
+        start_b = jnp.cumsum(cnt_b) - cnt_b
+        b_ids = jnp.arange(blocks, dtype=jnp.int32)
+        mark_ok = (cnt_b > 0) & (start_b < P)
+        mtgt = jnp.where(mark_ok, start_b, P)
+        b_of = jax.lax.cummax(
+            jnp.zeros((P,), jnp.int32).at[mtgt].max(b_ids, mode="drop"))
+        start_of = jax.lax.cummax(
+            jnp.zeros((P,), jnp.int32).at[mtgt].max(start_b, mode="drop"))
+        rows_p = staged[b_of]
+        return rows_p.sum() + start_of[-1]
+    timeit("compact: stage2 (cummax + row gather)", stage2, staged, offsets,
+           counts, total, t0v)
+
+
 if __name__ == "__main__":
     main()
+    compact_bisect()

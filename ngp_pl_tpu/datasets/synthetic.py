@@ -21,7 +21,10 @@ _SPHERES = [
     (np.array([-0.22, -0.18, 0.15]), 0.1, np.array([0.25, 0.35, 0.95])),
     (np.array([0.05, -0.28, -0.2]), 0.09, np.array([0.95, 0.85, 0.2])),
 ]
-_DENSITY = 120.0
+_DENSITY = 800.0  # alpha ~= 0.74 per marched sample: rays terminate after a
+                  # few surface samples like converged real scenes (Lego-class
+                  # densities are O(10^2-10^3); at 120 a ray needed ~22
+                  # samples to cross T=1e-2, an unrealistically soft regime)
 _EDGE = 0.02   # soft edge width
 _THICK = 0.05  # shell thickness — spheres are HOLLOW so the per-ray occupied
                # span (~2 thin crossings) matches real NeRF scenes like Lego

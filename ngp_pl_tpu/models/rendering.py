@@ -277,25 +277,45 @@ def _next_pow2(n: int) -> int:
 
 
 def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
-                               chunk: int = 16384, slots: int = 4096,
-                               n_s: int = 16, max_rounds: int = 512,
-                               use_window: bool = False):
+                               chunk: int = 65536, max_rounds: int = 512,
+                               use_window: bool = False,
+                               t_threshold: Optional[float] = None):
     """Device-resident adaptive renderer (reference rendering.py:46-118,
     re-designed for a high-latency host link).
 
-    The reference's alive-ray loop returns to the host every round to compact
+    The reference's alive-ray loop returns to the host every round to
+    recompute `N_samples = clamp(N_rays // N_alive, min, 64)` and compact
     the alive list; behind a remote tunnel each of those syncs costs more
     than the round's compute.  Here the WHOLE loop is one XLA program: a
-    `lax.while_loop` whose body picks the first `slots` alive rays with an
-    on-device argsort (compaction), marches `n_s` occupied samples for each,
-    evaluates the field, composites incrementally, and scatters state back.
-    The host sees exactly one dispatch per chunk.
+    `lax.while_loop` whose body compacts alive ray ids to the front with a
+    prefix sum and `lax.switch`es between (slot, n_samples) BUCKETS chosen
+    from the on-device alive count — the static-shape counterpart of the
+    reference's adaptive round sizing.  Slot count shrinks / samples-per-ray
+    grows as rays converge, keeping useful work per round roughly constant
+    instead of evaluating a mostly-dead fixed slot array.  The host sees
+    exactly one dispatch per chunk.
     """
     cfg = ngp.cfg
-    chain = max(4 * n_s, 64)
     from ngp_pl_tpu.ops.ray_march import occupancy_lines, occupancy_windows
 
     window = use_window and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+    thr = rcfg.test_t_threshold if t_threshold is None else t_threshold
+    min_s = 1 if cfg.exp_step_factor == 0 else 4
+    # (slots, n_samples, chain) buckets, largest first.  The biggest bucket
+    # gets a LONG chain so empty-space traversal (camera to first surface)
+    # completes in ~1-2 rounds instead of burning a full field eval every 64
+    # steps of advance; window gathers make long chains cheap.
+    buckets = []
+    s, ns = chunk, max(min_s, 4)
+    first = True
+    while s >= 1024 and ns <= 64:
+        buckets.append((s, ns, 256 if first else 128))
+        s //= 4
+        ns = min(64, ns * 4)
+        first = False
+    tail = (min(max(s, 256), chunk), 64, 128)
+    if tail not in buckets:
+        buckets.append(tail)
 
     @jax.jit
     def _render_chunk(params, occ_grid, rays_o, rays_d):
@@ -319,51 +339,74 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         def cond(c):
             return c["alive"].any() & (c["rounds"] < max_rounds)
 
+        def make_round(slots, n_s, chain):
+            chain = -(-max(chain, 4 * n_s) // 8) * 8
+
+            def round_fn(c, idx_full):
+                raw = idx_full[:slots]                           # (S,)
+                # tail slots (beyond the alive count) carry sentinel N
+                idx = jnp.minimum(raw, N - 1)
+                sel_alive = c["alive"][idx] & (raw < N)
+                ro, rd = rays_o[idx], rays_d[idx]
+                te = t_end[idx]
+                ts, dts, valid, t_next, n_eff = march_rays_test_round(
+                    ro, rd, c["t_cur"][idx], te, occ_grid,
+                    cascades=cfg.cascades, scale=cfg.scale,
+                    exp_step_factor=cfg.exp_step_factor,
+                    grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
+                    n_samples=n_s, chain_length=chain, occ_rows=occ_rows,
+                    win_rows=win_rows)
+                S = slots
+                xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+                dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))
+                sigmas, rgbs = ngp.forward(params, xyz.reshape(S * n_s, 3),
+                                           dirs.reshape(S * n_s, 3))
+                sigmas = sigmas.reshape(S, n_s)
+                rgbs = rgbs.reshape(S, n_s, 3)
+                o2, d2, r2, a2 = composite_test_round(
+                    sigmas, rgbs, dts, ts, valid,
+                    c["opacity"][idx], c["depth"][idx], c["rgb"][idx],
+                    sel_alive, thr)
+                a2 = a2 & (t_next < te)
+                s2 = c["samples"][idx] + jnp.where(sel_alive, n_s, 0)
+                a2 = a2 & (s2 < rcfg.max_samples)
+
+                def upd(old_sel, new, old_full):
+                    keep = sel_alive if new.ndim == 1 else sel_alive[:, None]
+                    return old_full.at[idx].set(jnp.where(keep, new, old_sel))
+
+                return dict(
+                    t_cur=upd(c["t_cur"][idx], t_next, c["t_cur"]),
+                    opacity=upd(c["opacity"][idx], o2, c["opacity"]),
+                    depth=upd(c["depth"][idx], d2, c["depth"]),
+                    rgb=upd(c["rgb"][idx], r2, c["rgb"]),
+                    alive=upd(c["alive"][idx], a2, c["alive"]),
+                    samples=upd(c["samples"][idx], s2, c["samples"]),
+                    total=c["total"]
+                    + jnp.where(sel_alive, n_eff, 0).sum().astype(jnp.int32),
+                    rounds=c["rounds"] + 1,
+                )
+
+            return round_fn
+
+        round_fns = [make_round(s, ns, ch) for s, ns, ch in buckets]
+        slot_sizes = jnp.asarray([s for s, _, _ in buckets], jnp.int32)
+
         def body(c):
-            # on-device compaction: stable-sort alive-first, take the head
-            order = jnp.argsort(jnp.where(c["alive"], 0, 1),
-                                stable=True).astype(jnp.int32)
-            idx = order[:slots]                                  # (S,)
-            sel_alive = c["alive"][idx]
-            ro, rd = rays_o[idx], rays_d[idx]
-            te = t_end[idx]
-            ts, dts, valid, t_next, n_eff = march_rays_test_round(
-                ro, rd, c["t_cur"][idx], te, occ_grid,
-                cascades=cfg.cascades, scale=cfg.scale,
-                exp_step_factor=cfg.exp_step_factor,
-                grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
-                n_samples=n_s, chain_length=chain, occ_rows=occ_rows,
-                win_rows=win_rows)
-            S = slots
-            xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
-            dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))
-            sigmas, rgbs = ngp.forward(params, xyz.reshape(S * n_s, 3),
-                                       dirs.reshape(S * n_s, 3))
-            sigmas = sigmas.reshape(S, n_s)
-            rgbs = rgbs.reshape(S, n_s, 3)
-            o2, d2, r2, a2 = composite_test_round(
-                sigmas, rgbs, dts, ts, valid,
-                c["opacity"][idx], c["depth"][idx], c["rgb"][idx],
-                sel_alive, rcfg.test_t_threshold)
-            a2 = a2 & (t_next < te)
-            s2 = c["samples"][idx] + jnp.where(sel_alive, n_s, 0)
-            a2 = a2 & (s2 < rcfg.max_samples)
-
-            def upd(old_sel, new, old_full):
-                keep = sel_alive if new.ndim == 1 else sel_alive[:, None]
-                return old_full.at[idx].set(jnp.where(keep, new, old_sel))
-
-            return dict(
-                t_cur=upd(c["t_cur"][idx], t_next, c["t_cur"]),
-                opacity=upd(c["opacity"][idx], o2, c["opacity"]),
-                depth=upd(c["depth"][idx], d2, c["depth"]),
-                rgb=upd(c["rgb"][idx], r2, c["rgb"]),
-                alive=upd(c["alive"][idx], a2, c["alive"]),
-                samples=upd(c["samples"][idx], s2, c["samples"]),
-                total=c["total"]
-                + jnp.where(sel_alive, n_eff, 0).sum().astype(jnp.int32),
-                rounds=c["rounds"] + 1,
-            )
+            alive_i = c["alive"].astype(jnp.int32)
+            n_alive = alive_i.sum()
+            # stable prefix-sum compaction of alive ray ids to the front;
+            # unwritten tail slots keep the sentinel N (masked in round_fn)
+            pos = jnp.cumsum(alive_i) - alive_i
+            idx_full = jnp.full((N,), N, jnp.int32).at[
+                jnp.where(c["alive"], pos, N)].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop")
+            # smallest bucket that still fits every alive ray
+            branch = jnp.sum(
+                (slot_sizes[1:] >= n_alive).astype(jnp.int32))
+            return jax.lax.switch(
+                branch, [lambda c, i, f=f: f(c, i) for f in round_fns],
+                c, idx_full)
 
         final = jax.lax.while_loop(cond, body, init)
         return (final["rgb"], final["depth"], final["opacity"],

@@ -244,17 +244,24 @@ def march_rays_test_round(
     # -(K+1) non-taken sentinels last — already front-to-back order
     _, idx = jax.lax.top_k(keys, S)                            # (N, S)
     s_valid = jnp.arange(S)[None, :] < n_eff[:, None]
-    ts_s = jnp.take_along_axis(ts, idx, axis=1)
-    dts_s = jnp.take_along_axis(dts, idx, axis=1)
+    # recompute t at the selected chain indices from the closed form — a
+    # take_along_axis here would lower to a per-row gather (measured ~5x the
+    # cost of the arithmetic at pool shapes)
+    ts_s = _chain_t(t_start[:, None], idx.astype(jnp.float32),
+                    exp_step_factor, dt_min, dt_max)
+    dts_s = jnp.clip(ts_s * exp_step_factor, dt_min, dt_max)
 
     # resume cursor: after the S-th occupied sample, else after the last
     # examined chain step (still < t_end) — mirrors hits_t advance in the
-    # reference test kernel (raymarching.cu:390)
+    # reference test kernel (raymarching.cu:390).  Chain index of the last
+    # taken sample: max over taken steps (idx rows are not usable without a
+    # per-row gather).
+    kk_i = jnp.arange(K, dtype=jnp.int32)[None, :]
+    last_k = jnp.max(jnp.where(take, kk_i, -1), axis=1)        # (N,)
     last_t = jnp.where(
         n_eff >= S,
-        jnp.take_along_axis(ts_all, jnp.take_along_axis(
-            idx, jnp.maximum(n_eff - 1, 0)[:, None], axis=1) + 1,
-            axis=1)[:, 0],
+        _chain_t(t_start, (last_k + 1).astype(jnp.float32),
+                 exp_step_factor, dt_min, dt_max),
         ts_all[:, K],
     )
     t_next = jnp.minimum(last_t, t_end)
@@ -583,12 +590,17 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
         at all), then selects its sample from the group's occupancy bitmask
         with a branch-free n-th-set-bit search.
     """
-    # per-ray occupied-sample cap + bookkeeping (prefix sums)
-    occ_i = occ.astype(jnp.int32)
-    incl = jnp.cumsum(occ_i, axis=1)
-    slot = incl - occ_i                                        # excl. in-ray
-    occ = occ & (slot < max_samples)
-    rm_counts = jnp.minimum(incl[:, -1], max_samples)
+    # per-ray occupied-sample cap + bookkeeping.  When the chain itself is
+    # shorter than the cap the cap can never bind — skip the full-width
+    # (N, K) prefix sum entirely (it is one of the larger VPU passes here)
+    if K <= max_samples:
+        rm_counts = occ.sum(axis=1, dtype=jnp.int32)
+    else:
+        occ_i = occ.astype(jnp.int32)
+        incl = jnp.cumsum(occ_i, axis=1)
+        slot = incl - occ_i                                    # excl. in-ray
+        occ = occ & (slot < max_samples)
+        rm_counts = jnp.minimum(incl[:, -1], max_samples)
     counts = rm_counts
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
@@ -651,7 +663,10 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     j = jnp.arange(P, dtype=jnp.int32) - start_of
     bitpos = _nth_set_bit(p_bits, j)
     ksub = jnp.clip(bitpos >> 3, 0, 3)
-    kb_sel = jnp.take_along_axis(rows_p, 2 + ksub[:, None], axis=1)[:, 0]
+    # branchless 4-way select (take_along_axis lowers to a per-row gather)
+    kb_sel = jnp.zeros((P,), jnp.int32)
+    for sub in range(4):
+        kb_sel = jnp.where(ksub == sub, rows_p[:, 2 + sub], kb_sel)
     k = (kb_sel + (bitpos & 7)).astype(jnp.float32)
     t0_p = jax.lax.bitcast_convert_type(rows_p[:, 6], jnp.float32)
 

@@ -261,90 +261,164 @@ class NeRFSystem:
                 occ_rows=self.grid_state.occ_rows,
                 dil_rows=self.grid_state.dil_rows, win_rows=win)
         self._host_step = step_i + 1
-        # re-bucket pool + chain from observed demand every update interval.
-        # The demand vector is prefetched async and consumed one interval
-        # LATE: budget feedback tolerates 16-step-stale signals, and reading
-        # a ready buffer avoids stalling the dispatch pipeline on a
-        # device->host round trip.
-        if (step_i + 1) % self.tcfg.grid_update_interval == 0 \
-                and not self.freeze_buckets:
-            dv = metrics["demand_vec"]
-            try:
-                dv.copy_to_host_async()
-            except Exception:
-                pass
-            prev, self._pending_demand = self._pending_demand, dv
-            if prev is not None:
-                import numpy as _np
+        # re-bucket pool + chain from observed demand every update interval
+        if (step_i + 1) % self.tcfg.grid_update_interval == 0:
+            self._consume_demand(metrics)
+        return metrics
 
-                rm, chain_max, chain_q = (float(v) for v in _np.asarray(prev))
-                B = self.tcfg.batch_size
-                used = rm / B
-                overflow = rm >= 0.98 * B * self._pool_mult
-                self._pool_demand = max(0.8 * self._pool_demand,
-                                        used * (4.0 if overflow else 1.5))
-                for m in self._pool_buckets:
-                    if m >= self._pool_demand:
-                        self._pool_mult = m
-                        break
-                else:
-                    self._pool_mult = self._pool_buckets[-1]
-                if self.segment_march:
-                    # demands are interval counts * J on this path; the q99
-                    # budget trades <=1% of rays' chain tails (behind T~=0)
-                    # for a 3-5x smaller static level-B march
-                    need = chain_q / self._seg_j
-                    self._interval_demand = max(0.9 * self._interval_demand,
-                                                need * 1.3)
-                    for m in self._interval_buckets:
-                        if m >= self._interval_demand:
-                            self.n_intervals = m
-                            break
-                    else:
-                        self.n_intervals = self._interval_buckets[-1]
-                else:
-                    need = chain_q
-                    self._chain_demand = max(0.9 * self._chain_demand,
-                                             need * 1.2)
-                    for c in self._chain_buckets:
-                        if c >= self._chain_demand:
-                            self.chain_length = c
-                            break
-                    else:
-                        self.chain_length = self._chain_buckets[-1]
+    def _consume_demand(self, metrics):
+        """Re-bucket pool/chain/interval budgets from the observed demand.
+
+        The demand vector is prefetched async and consumed one interval
+        LATE: budget feedback tolerates 16-step-stale signals, and reading
+        a ready buffer avoids stalling the dispatch pipeline on a
+        device->host round trip."""
+        if self.freeze_buckets:
+            return
+        dv = metrics["demand_vec"]
+        try:
+            dv.copy_to_host_async()
+        except Exception:
+            pass
+        prev, self._pending_demand = self._pending_demand, dv
+        if prev is None:
+            return
+        import numpy as _np
+
+        rm, chain_max, chain_q = (float(v) for v in _np.asarray(prev))
+        B = self.tcfg.batch_size
+        used = rm / B
+        overflow = rm >= 0.98 * B * self._pool_mult
+        self._pool_demand = max(0.8 * self._pool_demand,
+                                used * (4.0 if overflow else 1.5))
+        for m in self._pool_buckets:
+            if m >= self._pool_demand:
+                self._pool_mult = m
+                break
+        else:
+            self._pool_mult = self._pool_buckets[-1]
+        if self.segment_march:
+            # demands are interval counts * J on this path; the q99
+            # budget trades <=1% of rays' chain tails (behind T~=0)
+            # for a 3-5x smaller static level-B march
+            need = chain_q / self._seg_j
+            self._interval_demand = max(0.9 * self._interval_demand,
+                                        need * 1.3)
+            for m in self._interval_buckets:
+                if m >= self._interval_demand:
+                    self.n_intervals = m
+                    break
+            else:
+                self.n_intervals = self._interval_buckets[-1]
+        else:
+            need = chain_q
+            self._chain_demand = max(0.9 * self._chain_demand,
+                                     need * 1.2)
+            for c in self._chain_buckets:
+                if c >= self._chain_demand:
+                    self.chain_length = c
+                    break
+            else:
+                self.chain_length = self._chain_buckets[-1]
+
+    def step_block(self):
+        """One grid update + `grid_update_interval` scanned train steps as a
+        single device program (train_step.block_variant) — the steady-state
+        driver for device-resident datasets.  Equivalent to
+        `grid_update_interval` calls of step() at block-aligned host_step."""
+        assert self.rays_device is not None, "step_block needs device rays"
+        n = self.tcfg.grid_update_interval
+        step_i = self._host_step
+        assert step_i % n == 0, "step_block must start block-aligned"
+        self.key, k = jax.random.split(self.key)
+        self.grid_state = self.update_density_grid(
+            self.state.params, self.grid_state, k,
+            self.density_threshold,
+            warmup=step_i < self.tcfg.grid_warmup_steps,
+            erode=self.erode,
+        )
+        win = self.grid_state.win_rows if self.window_march else None
+        self.state, metrics = self.train_step.block_variant(
+            self.state, self.grid_state.occ_grid, self.poses,
+            self.directions, self.rays_device, self.key,
+            self._pool_mult, self.chain_length, self.n_intervals,
+            occ_rows=self.grid_state.occ_rows,
+            dil_rows=self.grid_state.dil_rows, win_rows=win, n_steps=n)
+        self._host_step = step_i + n
+        self._consume_demand(metrics)
         return metrics
 
     def fit(self, max_steps: Optional[int] = None, log_every: Optional[int] = None,
-            quiet: bool = False):
+            quiet: bool = False, profile_dir: Optional[str] = None):
+        """profile_dir: write a jax.profiler trace of steps ~64-96 there
+        (viewable in TensorBoard / Perfetto) — the reference has no profiler
+        integration; its observability is the samples-per-ray counters
+        (SURVEY.md §5), which are logged here as train/rm_s + train/vr_s."""
         max_steps = max_steps or self.tcfg.max_steps
         log_every = log_every or self.tcfg.log_every
         self.on_train_start()
+        if profile_dir:
+            import jax.profiler as _prof
+
+            orig_step, orig_block = self.step, self.step_block
+            counter = {"n": 0}
+
+            def _maybe_trace(fn, n_inc):
+                def wrapped(*a, **kw):
+                    if counter["n"] == 64:
+                        _prof.start_trace(profile_dir)
+                    out = fn(*a, **kw)
+                    counter["n"] += n_inc
+                    if counter["n"] >= 96 and counter["n"] - n_inc < 96:
+                        jax.block_until_ready(
+                            jax.tree_util.tree_leaves(out)[0])
+                        _prof.stop_trace()
+                    return out
+                return wrapped
+
+            self.step = _maybe_trace(orig_step, 1)
+            self.step_block = _maybe_trace(
+                orig_block, self.tcfg.grid_update_interval)
         t0 = time.time()
+        nb = self.tcfg.grid_update_interval
+        # scanned-block fast path: one dispatch per grid-update interval
+        use_blocks = (self.rays_device is not None
+                      and self._host_step % nb == 0
+                      and max_steps % nb == 0 and log_every % nb == 0)
+        if use_blocks:
+            for i in range(max_steps // nb):
+                metrics = self.step_block()
+                if ((i + 1) * nb) % log_every == 0 or i == 0:
+                    self._log_fit(metrics, (i + 1) * nb, t0, quiet)
+            return self.history
         for i in range(max_steps):
             metrics = self.step()
             if (i + 1) % log_every == 0 or i == 0:
-                m = {k: float(v) for k, v in metrics.items()
-                     if getattr(v, "ndim", 0) == 0}
-                m["step"] = int(self.state.step)
-                m["rays_per_s"] = (
-                    self.tcfg.batch_size * (i + 1) / (time.time() - t0))
-                self.history.append(m)
-                if not quiet:
-                    print(
-                        f"step {m['step']:6d} loss {m['loss']:.4f} "
-                        f"psnr {m['psnr']:.2f} rm_s "
-                        f"{m['rm_samples'] / self.tcfg.batch_size:.1f} "
-                        f"{m['rays_per_s']:.0f} rays/s", flush=True)
-                w = self._writer_get()
-                w.add_scalar("train/loss", m["loss"], m["step"])
-                w.add_scalar("train/psnr", m["psnr"], m["step"])
-                w.add_scalar(
-                    "train/rm_s",
-                    m["rm_samples"] / self.tcfg.batch_size, m["step"])
-                w.add_scalar(
-                    "train/vr_s",
-                    m["vr_samples"] / self.tcfg.batch_size, m["step"])
+                self._log_fit(metrics, i + 1, t0, quiet)
         return self.history
+
+    def _log_fit(self, metrics, steps_done, t0, quiet):
+        m = {k: float(v) for k, v in metrics.items()
+             if getattr(v, "ndim", 0) == 0}
+        m["step"] = int(self.state.step)
+        m["rays_per_s"] = (
+            self.tcfg.batch_size * steps_done / (time.time() - t0))
+        self.history.append(m)
+        if not quiet:
+            print(
+                f"step {m['step']:6d} loss {m['loss']:.4f} "
+                f"psnr {m['psnr']:.2f} rm_s "
+                f"{m['rm_samples'] / self.tcfg.batch_size:.1f} "
+                f"{m['rays_per_s']:.0f} rays/s", flush=True)
+        w = self._writer_get()
+        w.add_scalar("train/loss", m["loss"], m["step"])
+        w.add_scalar("train/psnr", m["psnr"], m["step"])
+        w.add_scalar(
+            "train/rm_s",
+            m["rm_samples"] / self.tcfg.batch_size, m["step"])
+        w.add_scalar(
+            "train/vr_s",
+            m["vr_samples"] / self.tcfg.batch_size, m["step"])
 
     # -- validation -----------------------------------------------------
     def validate(self, save_images: Optional[bool] = None, max_images=None

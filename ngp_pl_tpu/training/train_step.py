@@ -210,20 +210,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                           poses_all, directions, batch, key, pool_mult,
                           chain_length, n_intervals)
 
-    @partial(jax.jit,
-             static_argnames=("pool_mult", "chain_length", "n_intervals"))
-    def train_step_device(state: TrainState, occ_grid, poses_all, directions,
-                          rays_store, key, pool_mult: int = 0,
-                          chain_length: int = 0, n_intervals: int = 0,
-                          occ_rows=None, dil_rows=None, win_rows=None
-                          ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """Fully on-device step: batch sampling happens INSIDE the program.
-
-        `rays_store` is the whole (N_images, H*W, C) training ray tensor kept
-        resident in HBM; (image, pixel) indices are drawn with the on-device
-        RNG, so the hot loop involves zero host->device data movement (the
-        reference instead streams CPU-sampled batches from 16 DataLoader
-        workers every step, train.py:141-152)."""
+    def _device_step_core(state, occ_grid, poses_all, directions, rays_store,
+                          key, pool_mult, chain_length, n_intervals,
+                          occ_rows, dil_rows, win_rows):
         key = jax.random.fold_in(key, state.step)
         k_img, k_pix, key = jax.random.split(key, 3)
         B = tcfg.batch_size
@@ -250,5 +239,56 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                           poses_all, directions, batch, key, pool_mult,
                           chain_length, n_intervals)
 
+    @partial(jax.jit,
+             static_argnames=("pool_mult", "chain_length", "n_intervals"))
+    def train_step_device(state: TrainState, occ_grid, poses_all, directions,
+                          rays_store, key, pool_mult: int = 0,
+                          chain_length: int = 0, n_intervals: int = 0,
+                          occ_rows=None, dil_rows=None, win_rows=None
+                          ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Fully on-device step: batch sampling happens INSIDE the program.
+
+        `rays_store` is the whole (N_images, H*W, C) training ray tensor kept
+        resident in HBM; (image, pixel) indices are drawn with the on-device
+        RNG, so the hot loop involves zero host->device data movement (the
+        reference instead streams CPU-sampled batches from 16 DataLoader
+        workers every step, train.py:141-152)."""
+        return _device_step_core(state, occ_grid, poses_all, directions,
+                                 rays_store, key, pool_mult, chain_length,
+                                 n_intervals, occ_rows, dil_rows, win_rows)
+
+    @partial(jax.jit,
+             static_argnames=("pool_mult", "chain_length", "n_intervals",
+                              "n_steps"))
+    def train_step_block(state: TrainState, occ_grid, poses_all, directions,
+                         rays_store, key, pool_mult: int = 0,
+                         chain_length: int = 0, n_intervals: int = 0,
+                         occ_rows=None, dil_rows=None, win_rows=None,
+                         n_steps: int = 16
+                         ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """`n_steps` device-resident steps as ONE lax.scan program.
+
+        The occupancy grid is constant within a block (the reference updates
+        it every 16 steps, train.py:159-163 — callers set n_steps to that
+        cadence), and pool/chain buckets only change at block boundaries, so
+        scanning is semantically identical to n_steps dispatches while
+        paying the host->device dispatch latency once.  Metrics: last step's
+        values, except the demand vector which is the per-element MAX over
+        the block (bucket feedback wants the block's worst case)."""
+
+        def one(st, _):
+            st, m = _device_step_core(
+                st, occ_grid, poses_all, directions, rays_store, key,
+                pool_mult, chain_length, n_intervals, occ_rows, dil_rows,
+                win_rows)
+            return st, m
+
+        state, ms = jax.lax.scan(one, state, None, length=n_steps)
+        metrics = {k: v[-1] for k, v in ms.items()}
+        metrics["demand_vec"] = ms["demand_vec"].max(axis=0)
+        metrics["rm_samples"] = ms["rm_samples"].max(axis=0)
+        return state, metrics
+
     train_step.device_variant = train_step_device
+    train_step.block_variant = train_step_block
     return train_step

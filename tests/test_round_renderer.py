@@ -74,7 +74,7 @@ def test_device_round_matches_single_pass():
     rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.5]]), (N, 1))
 
     single = make_test_renderer(ngp, rcfg, chunk=N, pool_mult=256)
-    dev = make_device_round_renderer(ngp, rcfg, chunk=256, slots=64, n_s=8)
+    dev = make_device_round_renderer(ngp, rcfg, chunk=256)
 
     out_a = single(params, occ_grid, np.asarray(rays_o), np.asarray(rays_d))
     out_b = dev(params, occ_grid, np.asarray(rays_o), np.asarray(rays_d))
@@ -92,7 +92,7 @@ def test_device_round_renderer_empty_scene():
     params = ngp.init(jax.random.PRNGKey(0))
     occ_grid = jnp.zeros((1, 32, 32, 32), jnp.uint8)
     dev = make_device_round_renderer(ngp, RenderConfig(max_samples=256),
-                                     chunk=64, slots=32, n_s=4)
+                                     chunk=64)
     rays_o = np.tile([[0.0, 0.0, -1.5]], (16, 1)).astype(np.float32)
     rays_d = np.tile([[0.0, 0.0, 1.0]], (16, 1)).astype(np.float32)
     out = dev(params, occ_grid, rays_o, rays_d)

@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for a multi-host "
                              "pod run (reference: Lightning DDP spawn)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of steps 64-96 "
+                             "here (TensorBoard / Perfetto)")
     args = parser.parse_args()
     tcfg = config_from_args(args)
 
@@ -40,7 +43,8 @@ def main():
     if not tcfg.val_only:
         t0 = time.time()
         start = int(system.state.step)
-        system.fit(max_steps=tcfg.max_steps - start)
+        system.fit(max_steps=tcfg.max_steps - start,
+                   profile_dir=args.profile_dir)
         print(f"training took {time.time() - t0:.1f}s")
         os.makedirs(ckpt_dir, exist_ok=True)
         system.save(os.path.join(ckpt_dir, f"epoch={tcfg.num_epochs}.npz"))
