@@ -81,6 +81,8 @@ def main():
         "unit": f"frames/s @ {W}x{H}",
         "vs_baseline": round(fps / 36.2, 4),
         "samples_per_ray": round(out["total_samples"] / (W * H), 2),
+        "rounds": out.get("rounds"),
+        "mean_opacity": round(float(out["opacity"].mean()), 4),
     }))
 
 

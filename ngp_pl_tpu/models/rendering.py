@@ -410,7 +410,7 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
 
         final = jax.lax.while_loop(cond, body, init)
         return (final["rgb"], final["depth"], final["opacity"],
-                final["total"])
+                final["total"], final["rounds"])
 
     def render_image(params, occ_grid, rays_o, rays_d, bg_color=None):
         if bg_color is None:
@@ -418,6 +418,7 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         N = rays_o.shape[0]
         rgbs, depths, opacities = [], [], []
         total = 0
+        total_rounds = 0
         for i in range(0, N, chunk):
             ro = jnp.asarray(rays_o[i:i + chunk], jnp.float32)
             rd = jnp.asarray(rays_d[i:i + chunk], jnp.float32)
@@ -425,12 +426,14 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             if pad:
                 ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            rgb, depth, opa, ns = _render_chunk(params, occ_grid, ro, rd)
+            rgb, depth, opa, ns, rnds = _render_chunk(params, occ_grid,
+                                                      ro, rd)
             n = min(chunk, N - i)
             rgbs.append(np.asarray(rgb[:n]))
             depths.append(np.asarray(depth[:n]))
             opacities.append(np.asarray(opa[:n]))
             total += int(ns)
+            total_rounds += int(rnds)
         rgb = np.concatenate(rgbs)
         opacity = np.concatenate(opacities)
         rgb = rgb + np.asarray(bg_color) * (1.0 - opacity[:, None])
@@ -439,6 +442,7 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             "depth": np.concatenate(depths),
             "opacity": opacity,
             "total_samples": total,
+            "rounds": total_rounds,
         }
 
     return render_image
