@@ -63,7 +63,7 @@ def main():
     from ngp_pl_tpu.models.rendering import make_device_round_renderer
     from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
 
-    use_window = segment_march_dmax_ok(dirs)
+    use_window = segment_march_dmax_ok(dirs, scale=system.cfg.scale)
     render = make_device_round_renderer(system.ngp, system.rcfg,
                                         use_window=use_window,
                                         t_threshold=1e-2)

@@ -51,8 +51,9 @@ def main():
     test_ds = SyntheticDataset(split="test", img_size=96, n_test=1)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     system.on_train_start()
+    warm = int(os.environ.get("PROF_WARM", 192))
     print("warming to steady state...", file=sys.stderr, flush=True)
-    for i in range(192):
+    for i in range(warm):
         m = system.step()
     float(np.asarray(m["loss"]))
     print(f"steady: pool x{system._pool_mult} chain {system.chain_length} "

@@ -540,13 +540,22 @@ def march_rays_train_window(
 
 
 def segment_march_dmax_ok(directions, grid_size: int = 128,
-                          max_samples: int = 1024) -> bool:
-    """True if camera-space direction components are small enough for the
-    dilated-interval test to be conservative (see SEGMENT_J)."""
+                          max_samples: int = 1024,
+                          scale: float = 0.5) -> bool:
+    """True if ray directions are short enough for the windowed/dilated
+    interval test to be conservative (see SEGMENT_J).
+
+    The march rotates camera-space directions into the world frame, so the
+    bound uses the L2 norm (rotation-invariant: per-axis world travel is at
+    most ||d||2 * dt).  The cell size is the WORLD cell 2*scale/grid_size —
+    using the box-relative 1/grid_size would silently admit small-scale
+    scenes whose fine steps leave the gathered window (wrong occupancy bits,
+    no error)."""
     import numpy as _np
 
-    dmax = float(_np.max(_np.abs(_np.asarray(directions))))
-    cell = 1.0 / grid_size                       # box-relative cell size
+    d = _np.asarray(directions)
+    dmax = float(_np.sqrt((d * d).sum(axis=-1)).max())
+    cell = 2.0 * scale / grid_size               # world-units cell size
     dt_min = SQRT3 / max_samples
     return (SEGMENT_J - 1) / 2 * dt_min * dmax < cell
 

@@ -82,7 +82,8 @@ class NeRFSystem:
             and segment_march_dmax_ok(
                 self.test_dataset.directions,
                 grid_size=self.cfg.grid_size,
-                max_samples=self.rcfg.max_samples))
+                max_samples=self.rcfg.max_samples,
+                scale=self.cfg.scale))
         self.render_image = make_device_round_renderer(
             self.ngp, self.rcfg, use_window=test_window_ok)
         self.lpips = LPIPSHook()
@@ -190,7 +191,8 @@ class NeRFSystem:
             and segment_march_dmax_ok(
                 self.train_dataset.directions,
                 grid_size=self.cfg.grid_size,
-                max_samples=self.rcfg.max_samples))
+                max_samples=self.rcfg.max_samples,
+                scale=self.cfg.scale))
         self.segment_march = False
         k_a = -(-self.chain_full // SEGMENT_J)     # coarse intervals per ray
         self._interval_buckets = sorted({
