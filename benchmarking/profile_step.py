@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Ablation profiler: per-stage timings of the training step at bench shapes.
 
-Reproduces the bench.py operating point (batch 8192, pool x32, chain 1152,
-n_intervals 112 on the hollow synthetic scene) and times each stage of the
-step in isolation: march, field fwd, field fwd+bwd, fused encode fwd/bwd,
-composite, optimizer.  Prints a table to stderr.
+Reproduces the bench.py operating point on the hollow synthetic scene and
+times each stage of the strided train step in isolation: march, field fwd,
+field fwd+bwd, fused encode fwd/bwd, composite, optimizer.  Prints a table
+to stderr.
 """
 from __future__ import annotations
 
@@ -44,7 +44,7 @@ def timeit(name, fn, *args, n=20, warmup=3, **kw):
 
 
 def main():
-    B = 8192
+    B = int(os.environ.get("PROF_BATCH", 8192))
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=B,
                        num_epochs=30, exp_name="prof", no_save_test=True)
     train_ds = SyntheticDataset(split="train", img_size=96, n_train=8)
@@ -56,15 +56,13 @@ def main():
     for i in range(warm):
         m = system.step()
     float(np.asarray(m["loss"]))
-    print(f"steady: pool x{system._pool_mult} chain {system.chain_length} "
-          f"n_int {system.n_intervals} "
-          f"rm_s {float(np.asarray(m['rm_samples']))/B:.1f}",
+    print(f"steady: S {system._pool_mult} chain {system.chain_length} "
+          f"rm_s {float(np.asarray(m['rm_samples']))/B:.1f} "
+          f"vr_s {float(np.asarray(m['vr_samples']))/B:.1f}",
           file=sys.stderr, flush=True)
 
-    pool_mult = system._pool_mult
+    S = system._pool_mult
     chain = system.chain_length
-    n_int = system.n_intervals
-    pool = B * pool_mult
 
     # 1. full step
     timeit("full step", lambda: system.step()["loss"])
@@ -75,7 +73,6 @@ def main():
     params = system.state.params
     occ = system.grid_state.occ_grid
     occ_rows = system.grid_state.occ_rows
-    dil_rows = system.grid_state.dil_rows
 
     # shared ray batch (same distribution as training)
     rng = np.random.default_rng(0)
@@ -90,56 +87,55 @@ def main():
     noise = jnp.asarray(rng.random(B), jnp.float32)
 
     from ngp_pl_tpu.models.rendering import render_rays_train, scene_hits
-    from ngp_pl_tpu.ops.ray_march import march_rays_train_window
+    from ngp_pl_tpu.ops.ray_march import march_rays_train_strided
 
     hits = scene_hits(rays_o, rays_d, cfg.scale)
     win_rows = system.grid_state.win_rows
 
-    # 2. march only (windowed)
+    # 2. march only (strided, windowed occupancy)
     @jax.jit
     def march_only(win_rows):
-        m = march_rays_train_window(
-            rays_o, rays_d, hits, noise, win_rows, scale=cfg.scale,
+        m = march_rays_train_strided(
+            rays_o, rays_d, hits, noise, None, cascades=cfg.cascades,
+            scale=cfg.scale, exp_step_factor=cfg.exp_step_factor,
             grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
-            pool_size=pool, chain_length=chain)
-        return m.ts, m.ray_idx, m.deltas, m.valid, m.offsets, m.total
-    ts, ray_idx, deltas, valid, offsets, total = march_only(win_rows)
-    timeit("march (window)", march_only, win_rows)
+            n_samples=S, chain_length=chain, win_rows=win_rows)
+        return m.ts, m.deltas, m.valid, m.counts, m.total
+    ts, deltas, valid, counts, total = march_only(win_rows)
+    timeit("march (strided window)", march_only, win_rows)
 
     # sample positions for field-only timings
-    ridx = jnp.clip(ray_idx, 0, B - 1)
-    xyz = rays_o[ridx] + ts[:, None] * rays_d[ridx]
-    d_s = rays_d[ridx]
-    print(f"pool {pool} real samples {int(np.asarray(total))}",
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    print(f"slots {B * S} real samples {int(np.asarray(total))}",
           file=sys.stderr, flush=True)
 
     # 3. field fwd only
     @jax.jit
     def field_fwd(params):
-        s, r = ngp.forward(params, xyz, d_s)
+        s, r = ngp.forward_rays(params, xyz, rays_d)
         return s.sum() + r.sum()
-    timeit("field fwd (pool)", field_fwd, params)
+    timeit("field fwd", field_fwd, params)
 
     # 4. field fwd+bwd
     @jax.jit
     def field_grad(params):
         def f(p):
-            s, r = ngp.forward(p, xyz, d_s)
+            s, r = ngp.forward_rays(p, xyz, rays_d)
             return s.sum() + r.sum()
         gt = jax.grad(f)(params)["hash_table"]
         return jnp.vdot(gt, gt)
-    timeit("field fwd+bwd (pool)", field_grad, params)
+    timeit("field fwd+bwd", field_grad, params)
 
     # 5. fused encode+mlp fwd / fwd+bwd
     from ngp_pl_tpu.ops.hash_encoding import hash_encode_mlp
-    xn = (xyz + cfg.scale) / (2 * cfg.scale)
+    xn = ((xyz + cfg.scale) / (2 * cfg.scale)).reshape(B * S, 3)
 
     @jax.jit
     def enc_fwd(params):
         return hash_encode_mlp(xn, params["hash_table"],
                                params["sigma_mlp"][0], ngp.spec,
                                need_x_grad=False).sum()
-    timeit("encode+l1 fwd (pool)", enc_fwd, params)
+    timeit("encode+l1 fwd", enc_fwd, params)
 
     @jax.jit
     def enc_grad(params):
@@ -148,18 +144,18 @@ def main():
                                    ngp.spec, need_x_grad=False).sum()
         gt = jax.grad(f)(params)["hash_table"]
         return jnp.vdot(gt, gt)
-    timeit("encode+l1 fwd+bwd (pool)", enc_grad, params)
+    timeit("encode+l1 fwd+bwd", enc_grad, params)
 
     # 6. composite fwd+bwd
-    from ngp_pl_tpu.ops.volume_render import composite_train
-    sigmas, rgbs = ngp.forward(params, xyz, d_s)
+    from ngp_pl_tpu.ops.volume_render import composite_train_strided
+    sigmas, rgbs = ngp.forward_rays(params, xyz, rays_d)
     sigmas = jax.block_until_ready(sigmas)
 
     @jax.jit
     def comp_grad(sigmas, rgbs):
         def f(s, r):
-            out = composite_train(s, r, deltas, ts, ray_idx, valid, offsets,
-                                  n_rays=B, T_threshold=rcfg.t_threshold)
+            out = composite_train_strided(s, r, deltas, ts, valid,
+                                          T_threshold=rcfg.t_threshold)
             return out["rgb"].sum() + out["depth"].sum()
         gs, gr = jax.grad(f, argnums=(0, 1))(sigmas, rgbs)
         return gs.sum() + gr.sum()
@@ -170,7 +166,7 @@ def main():
     def render_fwd(params, occ, win_rows):
         out = render_rays_train(
             ngp, params, occ, rays_o, rays_d, noise,
-            jnp.ones((3,), jnp.float32), rcfg=rcfg, pool_mult=pool_mult,
+            jnp.ones((3,), jnp.float32), rcfg=rcfg, n_samples=S,
             chain_length=chain, win_rows=win_rows)
         return out["rgb"].sum()
     timeit("render fwd (march+field+composite)", render_fwd, params, occ,
@@ -182,7 +178,7 @@ def main():
         def f(p):
             out = render_rays_train(
                 ngp, p, occ, rays_o, rays_d, noise,
-                jnp.ones((3,), jnp.float32), rcfg=rcfg, pool_mult=pool_mult,
+                jnp.ones((3,), jnp.float32), rcfg=rcfg, n_samples=S,
                 chain_length=chain, win_rows=win_rows)
             return out["rgb"].sum()
         gt = jax.grad(f)(params)["hash_table"]

@@ -159,5 +159,44 @@ class NGP:
                 rgb = jnp.concatenate(chans, axis=-1)
         return sigma, rgb
 
+    def forward_rays(
+        self,
+        params: Params,
+        xyz: jnp.ndarray,          # (N, S, 3) world sample positions
+        rays_d: jnp.ndarray,       # (N, 3) per-ray view directions
+        exposure: Optional[jnp.ndarray] = None,   # (N, 1)
+    ):
+        """Strided-layout field eval: (sigma (N, S), rgb (N, S, 3)).
+
+        Identical math to forward(), exploiting that view direction is
+        constant along a ray: normalization + SH run once per RAY (N x 16)
+        instead of per sample (N*S x 16) — the reference evaluates SH per
+        sample because its CSR layout loses the ray structure
+        (rendering.py:142-151)."""
+        cfg = self.cfg
+        N, S = xyz.shape[0], xyz.shape[1]
+        sigma, h = self.density(params, xyz.reshape(N * S, 3),
+                                return_feat=True)
+        d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        sh_ray = sh_encode((d + 1.0) * 0.5, cfg.sh_degree)      # (N, 16)
+        sh = jnp.broadcast_to(sh_ray[:, None, :], (N, S, sh_ray.shape[-1])
+                              ).reshape(N * S, -1)
+        feats = jnp.concatenate([sh, h], axis=-1)
+        if cfg.rgb_act == "Sigmoid":
+            rgb = _mlp_apply(params["rgb_mlp"], feats, self.dtype,
+                             out_act=jax.nn.sigmoid)
+        else:
+            log_rad = _mlp_apply(params["rgb_mlp"], feats, self.dtype)
+            log_exp = (jnp.log(exposure)[:, None, :].repeat(S, 1)
+                       .reshape(N * S, 1) if exposure is not None else 0.0)
+            chans = []
+            for i in range(3):
+                inp = log_rad[:, i:i + 1] + log_exp
+                chans.append(
+                    _mlp_apply(params["tonemapper"][i], inp, self.dtype,
+                               out_act=jax.nn.sigmoid))
+            rgb = jnp.concatenate(chans, axis=-1)
+        return sigma.reshape(N, S), rgb.reshape(N, S, 3)
+
     def __call__(self, params, x, d, **kw):
         return self.forward(params, x, d, **kw)

@@ -14,9 +14,9 @@ Differences from the CUDA design, on purpose:
   TPU marcher gathers bytes directly; ops.morton exists for interop);
 - occupancy is one uint8 per cell, not a bitfield; `export_bitfield` emits the
   reference-format Morton bitfield for checkpoint parity;
-- "sample occupied cells" uses inverse-CDF sampling (searchsorted over the
-  occupancy cumsum) instead of torch.nonzero + randint, keeping shapes static
-  under jit (networks.py:169-195).
+- cell selection is a phase-cycled sublattice refresh instead of the
+  reference's uniform+occupied random sampling (networks.py:169-195) — see
+  update_density_grid's docstring for the equivalence argument.
 """
 from __future__ import annotations
 
@@ -140,30 +140,6 @@ def mark_invisible_cells(
     return state._replace(density_grid=density, count_grid=count)
 
 
-def _sample_cells(key, density_grid_c, M: int, G: int, density_threshold):
-    """M uniform + M occupied-cell samples for one cascade
-    (networks.py:169-195), static shapes.
-
-    Uniform-over-occupied is drawn by prefix-sum-compacting the occupied cell
-    ids into a list and indexing it with uniform integers — one 2M-row
-    scatter + one gather, ~3x cheaper than inverse-CDF searchsorted (which
-    costs ~log2(G^3) gather rounds per query batch on TPU)."""
-    k1, k2 = jax.random.split(key)
-    n_cells = G ** 3
-    idx_uniform = jax.random.randint(k1, (M,), 0, n_cells, jnp.int32)
-    occ = density_grid_c > density_threshold
-    rank = jnp.cumsum(occ.astype(jnp.int32)) - occ.astype(jnp.int32)
-    total = rank[-1] + occ[-1].astype(jnp.int32)
-    occ_list = jnp.zeros((n_cells,), jnp.int32).at[
-        jnp.where(occ, rank, n_cells)].set(
-        jnp.arange(n_cells, dtype=jnp.int32), mode="drop")
-    u = jax.random.randint(k2, (M,), 0, jnp.maximum(total, 1), jnp.int32)
-    idx_occ = occ_list[jnp.clip(u, 0, n_cells - 1)]
-    # if no occupied cells, fall back to uniform (reference keeps empty list)
-    idx_occ = jnp.where(total > 0, idx_occ, idx_uniform).astype(jnp.int32)
-    return jnp.concatenate([idx_uniform, idx_occ])
-
-
 def _coords_from_flat(idx: jnp.ndarray, G: int) -> jnp.ndarray:
     x = idx // (G * G)
     y = (idx // G) % G
@@ -193,25 +169,49 @@ def make_update_density_grid(ngp, cfg: NGPConfig, chunk: int = 2 ** 18):
         warmup: bool,
         erode: bool = False,
         decay: float = 0.95,
+        phase=0,                 # traced (one program for all 4 phases)
     ) -> OccupancyGridState:
+        """One EMA refresh of the density grid (networks.py:240-269).
+
+        TPU redesign of the cell selection: the reference draws M=G^3/4
+        uniform + M occupied-biased random cells (networks.py:243-247),
+        which on TPU costs an occupied-list compaction scatter, ~1M narrow
+        `tmp` scatters, and 2M density evals per update.  Here each update
+        refreshes the SUBLATTICE of cells with flat index = `phase` (mod 4)
+        — callers rotate phase round-robin — so every cell refreshes exactly
+        every 4 updates (64 steps) instead of in expectation every 4 (the
+        uniform half) with an occupied-biased boost.  Writes become a dense
+        slice-set on a free (C, G^3/4, 4) view (zero scatters) and evals
+        halve to G^3/4.  Kill latency for newly-empty cells is unchanged:
+        it is EMA-decay-bound in both designs (grid = max(grid*decay, new)).
+        """
         G, C = cfg.grid_size, cfg.cascades
         grid = state.density_grid
-        tmp = jnp.zeros_like(grid)
+        n4 = G ** 3 // 4
 
+        tmp_phase = []
         for c in range(C):
-            key, k_cells, k_noise = jax.random.split(key, 3)
+            key, k_noise = jax.random.split(key)
             if warmup:
                 idx = jnp.arange(G ** 3, dtype=jnp.int32)
             else:
-                idx = _sample_cells(k_cells, grid[c], G ** 3 // 4, G,
-                                    density_threshold)
+                idx = phase + 4 * jnp.arange(n4, dtype=jnp.int32)
             coords = _coords_from_flat(idx, G)
             pos, half = _cascade_world_pos(coords, c, cfg)
             # jitter inside the cell (networks.py:254-255)
             noise = jax.random.uniform(k_noise, pos.shape, minval=-1.0,
                                        maxval=1.0) * half
             sigma = density_chunked(params, pos + noise)
-            tmp = tmp.at[c, idx].set(sigma)
+            tmp_phase.append(sigma)
+
+        if warmup:
+            tmp = jnp.stack(tmp_phase)                        # (C, G^3)
+        else:
+            # dense write of the refreshed sublattice: (C, G^3) viewed as
+            # (C, G^3/4, 4), column `phase` set, reshape back — no scatter
+            tmp = (jnp.zeros((C, n4, 4), jnp.float32)
+                   .at[:, :, phase].set(jnp.stack(tmp_phase))
+                   .reshape(C, G ** 3))
 
         if erode:
             # decay more the cells visible to few cameras (networks.py:258-260)

@@ -29,9 +29,14 @@ from ngp_pl_tpu.ops.ray_march import (
     march_rays_test_round,
     march_rays_train,
     march_rays_train_segments,
+    march_rays_train_strided,
     march_rays_train_window,
 )
-from ngp_pl_tpu.ops.volume_render import composite_test_round, composite_train
+from ngp_pl_tpu.ops.volume_render import (
+    composite_test_round,
+    composite_train,
+    composite_train_strided,
+)
 
 
 def scene_hits(rays_o, rays_d, scale: float):
@@ -105,6 +110,82 @@ def render_rays_train(
     *,
     rcfg: RenderConfig,
     exposure: Optional[jnp.ndarray] = None,   # (N_rays, 1) HDR exposure
+    n_samples: Optional[int] = None,          # per-ray budget S (strided)
+    chain_length: int = 0,                    # override the dt-chain bound
+    occ_rows: Optional[jnp.ndarray] = None,   # precomputed packed z-lines
+    win_rows: Optional[jnp.ndarray] = None,   # precomputed 8^3 windows
+) -> Dict[str, jnp.ndarray]:
+    """Differentiable train-time render, strided layout
+    (reference rendering.py:121-163).
+
+    Ray r owns row r of every (N, S) tensor — march, field, compositing and
+    losses are all lane-axis math with no CSR segment machinery (see
+    StridedMarch).  Gradients flow to params and to rays_o/rays_d (sample
+    positions are recomputed as o + t*d with t stopped, which reproduces the
+    reference RayMarcher backward's segment-sum ray gradients for free,
+    custom_functions.py:102-112).
+    """
+    cfg = ngp.cfg
+    N = rays_o.shape[0]
+    S = n_samples or rcfg.train_pool_mult
+    hits_t = scene_hits(rays_o, rays_d, cfg.scale)
+    chain = chain_length or (
+        rcfg.max_samples if cfg.exp_step_factor == 0
+        else 2 * rcfg.max_samples)
+
+    m = march_rays_train_strided(
+        jax.lax.stop_gradient(rays_o),
+        jax.lax.stop_gradient(rays_d),
+        jax.lax.stop_gradient(hits_t),
+        noise,
+        occ_grid,
+        cascades=cfg.cascades,
+        scale=cfg.scale,
+        exp_step_factor=cfg.exp_step_factor,
+        grid_size=cfg.grid_size,
+        max_samples=rcfg.max_samples,
+        n_samples=S,
+        chain_length=chain,
+        occ_rows=occ_rows,
+        win_rows=win_rows,
+    )
+
+    # materialize the march outputs: without the barrier XLA fuses the whole
+    # (N, K) candidate chain into each (N, S)-consumer, re-running it per
+    # consumer op (measured 10x step blowup on CPU; wasted VPU work on TPU)
+    m = m._replace(**dict(zip(
+        ("ts", "deltas", "valid"),
+        jax.lax.optimization_barrier((m.ts, m.deltas, m.valid)))))
+    xyz = rays_o[:, None, :] + m.ts[..., None] * rays_d[:, None, :]  # (N,S,3)
+    sigmas, rgbs = ngp.forward_rays(params, xyz, rays_d, exposure=exposure)
+
+    out = composite_train_strided(
+        sigmas, rgbs, m.deltas, m.ts, m.valid,
+        T_threshold=rcfg.t_threshold,
+    )
+    out["rgb"] = out["rgb"] + bg_rgb[None, :] * (1.0 - out["opacity"][:, None])
+    out["deltas"] = m.deltas
+    out["ts"] = m.ts
+    out["valid"] = m.valid
+    out["rm_samples"] = m.total
+    out["rm_counts"] = m.rm_counts
+    out["chain_demand"] = m.chain_demand
+    out["chain_demand_q"] = m.chain_demand_q
+    out["vr_samples"] = out["vr_samples"].sum()
+    return out
+
+
+def render_rays_train_csr(
+    ngp: NGP,
+    params,
+    occ_grid: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    noise: jnp.ndarray,
+    bg_rgb: jnp.ndarray,          # (3,) background color
+    *,
+    rcfg: RenderConfig,
+    exposure: Optional[jnp.ndarray] = None,   # (N_rays, 1) HDR exposure
     pool_mult: Optional[int] = None,          # override rcfg.train_pool_mult
     chain_length: int = 0,                    # override the dt-chain bound
     n_intervals: int = 0,                     # >0: two-level segment march
@@ -112,7 +193,11 @@ def render_rays_train(
     dil_rows: Optional[jnp.ndarray] = None,   # precomputed dilated z-lines
     win_rows: Optional[jnp.ndarray] = None,   # precomputed 8^3 windows
 ) -> Dict[str, jnp.ndarray]:
-    """Differentiable train-time render (reference rendering.py:121-163).
+    """CSR-pool train render (the round-1 layout; superseded by the strided
+    `render_rays_train` but kept for comparison tests and as the fallback
+    for workloads with strongly skewed per-ray sample counts, where CSR
+    packing wastes less field work than a per-ray budget).
+    (reference rendering.py:121-163).
 
     Gradients flow to params and to rays_o/rays_d (sample positions are
     recomputed as o + t*d with t stopped, which reproduces the reference

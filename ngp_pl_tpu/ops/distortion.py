@@ -40,3 +40,22 @@ def distortion_loss(
     per_sample = 2.0 * (wts_in * ws_ex - ws_in * wts_ex) + (w * w * deltas) / 3.0
     seg = jnp.where(valid, ray_idx, n_rays)
     return jax.ops.segment_sum(per_sample, seg, num_segments=n_rays + 1)[:-1]
+
+
+def distortion_loss_strided(
+    ws: jnp.ndarray,        # (N, S) sample weights
+    deltas: jnp.ndarray,    # (N, S)
+    ts: jnp.ndarray,        # (N, S)
+    valid: jnp.ndarray,     # (N, S) bool
+) -> jnp.ndarray:
+    """Per-ray distortion loss (N,), strided layout: the per-ray prefix
+    sums of the DVGO-v2 form become plain lane-axis cumsums over S (the CSR
+    variant's segment scans cost global-cumsum + segment_sum passes)."""
+    w = jnp.where(valid, ws, 0.0)
+    wt = w * ts
+    ws_in = jnp.cumsum(w, axis=1)
+    wts_in = jnp.cumsum(wt, axis=1)
+    ws_ex = ws_in - w
+    wts_ex = wts_in - wt
+    per_sample = 2.0 * (wts_in * ws_ex - ws_in * wts_ex) + (w * w * deltas) / 3.0
+    return per_sample.sum(axis=1)

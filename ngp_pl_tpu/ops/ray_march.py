@@ -791,6 +791,153 @@ def march_rays_train(
     )
 
 
+class StridedMarch(NamedTuple):
+    """Per-ray strided sample block: ray r owns row r of each (N, S) array.
+
+    The strided layout supersedes the CSR pool for the train path: every
+    global-scan/scatter step of the CSR compaction (group scatter, pool
+    cummax, per-slot source gather) becomes a LANE-axis op over (N, S) or
+    (N, K/32) — measured ~4 ms cheaper per step at the bench shapes, and a
+    ray can never be dropped at pool saturation (clipping is per-ray
+    front-to-back, like the reference's per-ray max_samples cap,
+    raymarching.cu:237-241)."""
+
+    ts: jnp.ndarray        # (N, S) sample distances
+    deltas: jnp.ndarray    # (N, S)
+    valid: jnp.ndarray     # (N, S) bool
+    counts: jnp.ndarray    # (N,) samples kept (<= S)
+    rm_counts: jnp.ndarray  # (N,) occupied samples found (pre-clip)
+    total: jnp.ndarray     # () int32 total kept samples
+    chain_demand: jnp.ndarray    # () int32
+    chain_demand_q: jnp.ndarray  # () int32
+
+
+def _select_first_bits(occ: jnp.ndarray, S: int):
+    """First-S selection over per-ray candidate bits, all lane-axis math.
+
+    occ: (N, K) bool candidates (K % 32 == 0).  Returns (k (N, S) int32 chain
+    index of the s-th occupied candidate, counts (N,), total (N,) pre-clip).
+
+    Design: candidates pack into (N, K/32) uint32 groups; group popcount
+    prefix sums locate, for each output slot s, the ONE group containing the
+    (s+1)-th set bit (groups are disjoint count ranges, so membership is a
+    two-sided compare — no searchsorted/top_k); a branch-free n-th-set-bit
+    search finds the bit inside the group.  Cost is ~K/32 fused passes over
+    (N, S) — no global scans, no scatters (vs jax.lax.top_k at (8192, 896):
+    2.74 ms measured)."""
+    N, K = occ.shape
+    KG = K // 32
+    assert KG * 32 == K, K
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    bits = jnp.sum(occ.reshape(N, KG, 32) * weights[None, None, :],
+                   axis=-1, dtype=jnp.uint32)                  # (N, KG)
+    cnt = jax.lax.population_count(bits).astype(jnp.int32)     # (N, KG)
+    incl = jnp.cumsum(cnt, axis=1)
+    excl = incl - cnt
+    total = incl[:, -1]
+    counts = jnp.minimum(total, S)
+
+    s_row = jnp.arange(S, dtype=jnp.int32)[None, :]            # (1, S)
+    bits_sel = jnp.zeros((N, S), jnp.uint32)
+    base = jnp.zeros((N, S), jnp.int32)
+    gbase = jnp.zeros((N, S), jnp.int32)
+    for g in range(KG):
+        m = (excl[:, g:g + 1] <= s_row) & (s_row < incl[:, g:g + 1])
+        bits_sel = jnp.where(m, bits[:, g:g + 1], bits_sel)
+        base = jnp.where(m, excl[:, g:g + 1], base)
+        gbase = jnp.where(m, g * 32, gbase)
+    bitpos = _nth_set_bit(bits_sel, s_row - base)
+    return gbase + bitpos, counts, total
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cascades", "scale", "exp_step_factor", "grid_size",
+                     "max_samples", "n_samples", "chain_length"),
+)
+def march_rays_train_strided(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    hits_t: jnp.ndarray,
+    noise: jnp.ndarray,
+    occ_grid: jnp.ndarray | None,
+    *,
+    cascades: int,
+    scale: float,
+    exp_step_factor: float,
+    grid_size: int,
+    max_samples: int,
+    n_samples: int,            # S: per-ray sample budget (the strided width)
+    chain_length: int,
+    occ_rows: jnp.ndarray | None = None,
+    win_rows: jnp.ndarray | None = None,
+) -> StridedMarch:
+    """Occupancy march into the strided (N, S) layout.
+
+    Same candidate chain + occupancy bits as `march_rays_train`
+    (raymarching.cu:166-332 semantics: jittered start, closed-form dt-chain,
+    per-mip occupancy tests, front-to-back per-ray clipping) but compaction
+    is per-ray into row r instead of CSR-packed — see StridedMarch.
+    Uses the windowed 64B-gather occupancy path when `win_rows` is given
+    (single cascade, uniform stepping), else packed z-line rows.
+    """
+    N = rays_o.shape[0]
+    S = n_samples
+    K = -(-chain_length // 32) * 32
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2.0 * scale / grid_size
+
+    t1 = hits_t[:, 0]
+    t2 = hits_t[:, 1]
+    hit = t1 >= 0
+    t0 = t1 + calc_dt(t1, exp_step_factor, max_samples, grid_size, scale) * noise
+
+    use_window = (win_rows is not None and exp_step_factor == 0.0
+                  and cascades == 1 and K % SEGMENT_J == 0)
+    if use_window:
+        occ, ts_all = _occ_window_chain(
+            rays_o, rays_d, t0, K // SEGMENT_J, win_rows,
+            scale=scale, grid_size=grid_size, dt_min=dt_min)
+        occ = occ.reshape(N, K)
+        ts_all = ts_all.reshape(N, K)
+        in_range = hit[:, None] & (ts_all >= 0) & (ts_all < t2[:, None])
+    else:
+        k = jnp.arange(K, dtype=jnp.float32)[None, :]
+        ts_all = _chain_t(t0[:, None], k, exp_step_factor, dt_min, dt_max)
+        dts_all = jnp.clip(ts_all * exp_step_factor, dt_min, dt_max)
+        in_range = hit[:, None] & (ts_all >= 0) & (ts_all < t2[:, None])
+        xyz = rays_o[:, None, :] + ts_all[..., None] * rays_d[:, None, :]
+        mip, n = _grid_coords(xyz, dts_all, cascades, scale, grid_size)
+        if occ_rows is None:
+            occ_rows = occupancy_lines(occ_grid)
+        occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
+    occ = occ & in_range                                        # (N, K)
+
+    kk1 = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
+    per_ray_need = jnp.max(jnp.where(occ, kk1, 0), axis=1)
+    chain_demand = jnp.max(per_ray_need).astype(jnp.int32)
+    chain_demand_q = _q99(per_ray_need)
+
+    k_idx, counts, total_pre = _select_first_bits(occ, S)
+    s_row = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = s_row < counts[:, None]
+    ts = _chain_t(t0[:, None], k_idx.astype(jnp.float32), exp_step_factor,
+                  dt_min, dt_max)
+    deltas = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
+    ts = jnp.where(valid, ts, 0.0)
+
+    return StridedMarch(
+        ts=ts,
+        deltas=deltas,
+        valid=valid,
+        counts=counts,
+        rm_counts=total_pre,
+        total=counts.sum().astype(jnp.int32),
+        chain_demand=chain_demand,
+        chain_demand_q=chain_demand_q,
+    )
+
+
 def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
     """99th-percentile of a per-ray integer demand vector.
 

@@ -8,7 +8,7 @@ from typing import Dict, Optional
 
 import jax.numpy as jnp
 
-from ngp_pl_tpu.ops.distortion import distortion_loss
+from ngp_pl_tpu.ops.distortion import distortion_loss, distortion_loss_strided
 
 
 def nerf_loss(
@@ -24,11 +24,17 @@ def nerf_loss(
     # push opacity towards 0 or 1 to kill floaters (losses.py:51-53)
     d["opacity"] = lambda_opacity * (-o * jnp.log(o))
     if lambda_distortion > 0:
-        d["distortion"] = lambda_distortion * distortion_loss(
-            results["ws"], results["deltas"], results["ts"],
-            results["ray_idx"], results["pool_valid"], results["offsets"],
-            n_rays=target_rgb.shape[0],
-        )
+        if "valid" in results:       # strided (N, S) layout
+            d["distortion"] = lambda_distortion * distortion_loss_strided(
+                results["ws"], results["deltas"], results["ts"],
+                results["valid"],
+            )
+        else:                        # CSR pool layout
+            d["distortion"] = lambda_distortion * distortion_loss(
+                results["ws"], results["deltas"], results["ts"],
+                results["ray_idx"], results["pool_valid"], results["offsets"],
+                n_rays=target_rgb.shape[0],
+            )
     return d
 
 

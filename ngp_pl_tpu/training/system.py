@@ -152,11 +152,15 @@ class NeRFSystem:
         # step would force a blocking device->host sync (24ms+ through a
         # remote tunnel) and serialize the step pipeline
         self._host_step = 0
-        # dynamic sample-pool sizing: the pool is a static shape under jit,
-        # but real samples/ray collapse ~10x once the occupancy grid prunes;
-        # pick the pool bucket from recent demand (power-of-2 multipliers,
-        # sticky via a running max) so steady-state field work shrinks to fit
-        self._pool_buckets = (4, 8, 16, self.rcfg.train_pool_mult)
+        # dynamic per-ray sample budget S (the strided width): a static
+        # shape under jit, but real samples/ray collapse ~10x once the
+        # occupancy grid prunes; pick the bucket from recent q99 per-ray
+        # demand (power-of-2, sticky via a running max).  During grid warmup
+        # every chain step is occupied and the budget clips front-to-back
+        # (the reference marches up to 1024 warmup samples/ray instead —
+        # front-truncation keeps the visible surface and self-corrects as
+        # the grid prunes).
+        self._pool_buckets = (8, 16, 32, 64)
         self._pool_mult = self.rcfg.train_pool_mult
         self._pool_demand = 0.0
         # static dt-chain bound sized to the scene's actual max ray range
@@ -175,17 +179,11 @@ class NeRFSystem:
             for f in (0.25, 0.5, 0.75, 1.0)})
         self.chain_length = self._chain_buckets[-1]
         self._chain_demand = float(self.chain_length)
-        # two-level segment march (ops/ray_march.py:march_rays_train_segments):
-        # available for single-cascade uniform-step scenes with narrow-enough
-        # FOV; the per-ray interval budget is re-bucketed from demand like the
-        # sample pool.  During grid warmup occupancy is dense, so the budget
-        # starts at the worst case and shrinks as the grid converges.
-        from ngp_pl_tpu.ops.ray_march import SEGMENT_J, segment_march_dmax_ok
+        # windowed march (ops/ray_march.py:_occ_window_chain): one 64B
+        # occupancy-window gather per 8 chain steps, exact bits — usable
+        # wherever the direction bound holds
+        from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
 
-        self._seg_j = SEGMENT_J
-        # windowed march (ops/ray_march.py:march_rays_train_window): one 64B
-        # occupancy-window gather per 8 chain steps, exact bits — supersedes
-        # the two-level segment march wherever the direction bound holds
         self.window_march = (
             self.cfg.cascades == 1 and self.cfg.exp_step_factor == 0.0
             and segment_march_dmax_ok(
@@ -193,13 +191,7 @@ class NeRFSystem:
                 grid_size=self.cfg.grid_size,
                 max_samples=self.rcfg.max_samples,
                 scale=self.cfg.scale))
-        self.segment_march = False
-        k_a = -(-self.chain_full // SEGMENT_J)     # coarse intervals per ray
-        self._interval_buckets = sorted({
-            min(k_a, max(16, -(-int(k_a * f) // 8) * 8))
-            for f in (0.0625, 0.125, 0.25, 0.375, 0.5, 0.75, 1.0)})
-        self.n_intervals = self._interval_buckets[-1] if self.segment_march else 0
-        self._interval_demand = float(self.n_intervals)
+        self.n_intervals = 0     # retired two-level segment-march budget
         self._pending_demand = None   # async-prefetched demand vector
         # True pins pool/chain/interval buckets at their current values —
         # benchmarks set this after warmup so a demand blip cannot trigger a
@@ -244,24 +236,23 @@ class NeRFSystem:
                 self.density_threshold,
                 warmup=step_i < self.tcfg.grid_warmup_steps,
                 erode=self.erode,
+                phase=(step_i // self.tcfg.grid_update_interval) % 4,
             )
         win = self.grid_state.win_rows if self.window_march else None
         if batch is None and self.rays_device is not None:
             self.state, metrics = self.train_step.device_variant(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
-                self._pool_mult, self.chain_length, self.n_intervals,
-                occ_rows=self.grid_state.occ_rows,
-                dil_rows=self.grid_state.dil_rows, win_rows=win)
+                self._pool_mult, self.chain_length,
+                occ_rows=self.grid_state.occ_rows, win_rows=win)
         else:
             if batch is None:
                 batch = self.sample_batch()
             self.state, metrics = self.train_step(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, batch, self.key, self._pool_mult,
-                self.chain_length, self.n_intervals,
-                occ_rows=self.grid_state.occ_rows,
-                dil_rows=self.grid_state.dil_rows, win_rows=win)
+                self.chain_length,
+                occ_rows=self.grid_state.occ_rows, win_rows=win)
         self._host_step = step_i + 1
         # re-bucket pool + chain from observed demand every update interval
         if (step_i + 1) % self.tcfg.grid_update_interval == 0:
@@ -287,41 +278,26 @@ class NeRFSystem:
             return
         import numpy as _np
 
-        rm, chain_max, chain_q = (float(v) for v in _np.asarray(prev))
-        B = self.tcfg.batch_size
-        used = rm / B
-        overflow = rm >= 0.98 * B * self._pool_mult
-        self._pool_demand = max(0.8 * self._pool_demand,
-                                used * (4.0 if overflow else 1.5))
+        rm, chain_max, chain_q, rm_q = (float(v) for v in _np.asarray(prev))
+        # per-ray sample budget S: sized from the 99th-percentile per-ray
+        # occupied count (pre-clip), so <=1% of rays lose chain tail samples
+        # that sit behind hundreds of composited samples (T ~= 0)
+        self._pool_demand = max(0.8 * self._pool_demand, rm_q * 1.1)
         for m in self._pool_buckets:
             if m >= self._pool_demand:
                 self._pool_mult = m
                 break
         else:
             self._pool_mult = self._pool_buckets[-1]
-        if self.segment_march:
-            # demands are interval counts * J on this path; the q99
-            # budget trades <=1% of rays' chain tails (behind T~=0)
-            # for a 3-5x smaller static level-B march
-            need = chain_q / self._seg_j
-            self._interval_demand = max(0.9 * self._interval_demand,
-                                        need * 1.3)
-            for m in self._interval_buckets:
-                if m >= self._interval_demand:
-                    self.n_intervals = m
-                    break
-            else:
-                self.n_intervals = self._interval_buckets[-1]
+        need = chain_q
+        self._chain_demand = max(0.9 * self._chain_demand,
+                                 need * 1.2)
+        for c in self._chain_buckets:
+            if c >= self._chain_demand:
+                self.chain_length = c
+                break
         else:
-            need = chain_q
-            self._chain_demand = max(0.9 * self._chain_demand,
-                                     need * 1.2)
-            for c in self._chain_buckets:
-                if c >= self._chain_demand:
-                    self.chain_length = c
-                    break
-            else:
-                self.chain_length = self._chain_buckets[-1]
+            self.chain_length = self._chain_buckets[-1]
 
     def step_block(self):
         """One grid update + `grid_update_interval` scanned train steps as a
@@ -338,14 +314,14 @@ class NeRFSystem:
             self.density_threshold,
             warmup=step_i < self.tcfg.grid_warmup_steps,
             erode=self.erode,
+            phase=(step_i // n) % 4,
         )
         win = self.grid_state.win_rows if self.window_march else None
         self.state, metrics = self.train_step.block_variant(
             self.state, self.grid_state.occ_grid, self.poses,
             self.directions, self.rays_device, self.key,
-            self._pool_mult, self.chain_length, self.n_intervals,
-            occ_rows=self.grid_state.occ_rows,
-            dil_rows=self.grid_state.dil_rows, win_rows=win, n_steps=n)
+            self._pool_mult, self.chain_length,
+            occ_rows=self.grid_state.occ_rows, win_rows=win, n_steps=n)
         self._host_step = step_i + n
         self._consume_demand(metrics)
         return metrics

@@ -21,6 +21,7 @@ from ngp_pl_tpu.config import RenderConfig, TrainConfig
 from ngp_pl_tpu.datasets.ray_utils import axisangle_to_R, get_rays
 from ngp_pl_tpu.models.ngp import NGP, _mlp_apply
 from ngp_pl_tpu.models.rendering import render_rays_train
+from ngp_pl_tpu.ops.ray_march import _q99
 from ngp_pl_tpu.ops.trunc_exp import trunc_exp
 from ngp_pl_tpu.training.losses import nerf_loss, total_loss
 
@@ -98,9 +99,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
     use_pose = tcfg.optimize_ext
     use_exposure = tcfg.use_exposure
 
-    def loss_fn(trainable, occ_grid, occ_rows, dil_rows, win_rows,
-                poses_all, directions, batch, key, pool_mult,
-                chain_length, n_intervals):
+    def loss_fn(trainable, occ_grid, occ_rows, win_rows,
+                poses_all, directions, batch, key, n_samples,
+                chain_length):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -125,9 +126,9 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         exposure = batch.get("exposure") if use_exposure else None
         results = render_rays_train(
             ngp, params, occ_grid, rays_o, rays_d, noise, bg,
-            rcfg=rcfg, exposure=exposure, pool_mult=pool_mult,
-            chain_length=chain_length, n_intervals=n_intervals,
-            occ_rows=occ_rows, dil_rows=dil_rows, win_rows=win_rows)
+            rcfg=rcfg, exposure=exposure, n_samples=n_samples or None,
+            chain_length=chain_length,
+            occ_rows=occ_rows, win_rows=win_rows)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -152,22 +153,22 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "rm_samples": results["rm_samples"],
             "vr_samples": results["vr_samples"],
             "rm_counts_max": results["rm_counts"].max(),
+            "rm_counts_q": _q99(results["rm_counts"]),
             "chain_demand": results["chain_demand"],
             "chain_demand_q": results["chain_demand_q"],
         }
         return loss, aux
 
-    def _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
-                   poses_all, directions, batch, key, pool_mult,
-                   chain_length, n_intervals):
+    def _step_core(state, occ_grid, occ_rows, win_rows,
+                   poses_all, directions, batch, key, n_samples,
+                   chain_length):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, occ_grid, occ_rows, dil_rows, win_rows, poses_all,
-            directions, batch, key, pool_mult or None, chain_length,
-            n_intervals)
+            trainable, occ_grid, occ_rows, win_rows, poses_all,
+            directions, batch, key, n_samples, chain_length)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
@@ -190,6 +191,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 aux["rm_samples"].astype(jnp.float32),
                 aux["chain_demand"].astype(jnp.float32),
                 aux["chain_demand_q"].astype(jnp.float32),
+                aux["rm_counts_q"].astype(jnp.float32),
             ]),
         }
         return (
@@ -199,20 +201,19 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         )
 
     @partial(jax.jit,
-             static_argnames=("pool_mult", "chain_length", "n_intervals"))
+             static_argnames=("n_samples", "chain_length"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
-                   key, pool_mult: int = 0, chain_length: int = 0,
-                   n_intervals: int = 0, occ_rows=None, dil_rows=None,
-                   win_rows=None
+                   key, n_samples: int = 0, chain_length: int = 0,
+                   occ_rows=None, win_rows=None
                    ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(key, state.step)
-        return _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
-                          poses_all, directions, batch, key, pool_mult,
-                          chain_length, n_intervals)
+        return _step_core(state, occ_grid, occ_rows, win_rows,
+                          poses_all, directions, batch, key, n_samples,
+                          chain_length)
 
     def _device_step_core(state, occ_grid, poses_all, directions, rays_store,
-                          key, pool_mult, chain_length, n_intervals,
-                          occ_rows, dil_rows, win_rows):
+                          key, n_samples, chain_length,
+                          occ_rows, win_rows):
         key = jax.random.fold_in(key, state.step)
         k_img, k_pix, key = jax.random.split(key, 3)
         B = tcfg.batch_size
@@ -235,16 +236,16 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                  "rgb": payload[:, :3]}
         if use_exposure and rays_store.shape[-1] >= 4:
             batch["exposure"] = payload[:, 3:4]
-        return _step_core(state, occ_grid, occ_rows, dil_rows, win_rows,
-                          poses_all, directions, batch, key, pool_mult,
-                          chain_length, n_intervals)
+        return _step_core(state, occ_grid, occ_rows, win_rows,
+                          poses_all, directions, batch, key, n_samples,
+                          chain_length)
 
     @partial(jax.jit,
-             static_argnames=("pool_mult", "chain_length", "n_intervals"))
+             static_argnames=("n_samples", "chain_length"))
     def train_step_device(state: TrainState, occ_grid, poses_all, directions,
-                          rays_store, key, pool_mult: int = 0,
-                          chain_length: int = 0, n_intervals: int = 0,
-                          occ_rows=None, dil_rows=None, win_rows=None
+                          rays_store, key, n_samples: int = 0,
+                          chain_length: int = 0,
+                          occ_rows=None, win_rows=None
                           ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Fully on-device step: batch sampling happens INSIDE the program.
 
@@ -254,16 +255,15 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         reference instead streams CPU-sampled batches from 16 DataLoader
         workers every step, train.py:141-152)."""
         return _device_step_core(state, occ_grid, poses_all, directions,
-                                 rays_store, key, pool_mult, chain_length,
-                                 n_intervals, occ_rows, dil_rows, win_rows)
+                                 rays_store, key, n_samples, chain_length,
+                                 occ_rows, win_rows)
 
     @partial(jax.jit,
-             static_argnames=("pool_mult", "chain_length", "n_intervals",
-                              "n_steps"))
+             static_argnames=("n_samples", "chain_length", "n_steps"))
     def train_step_block(state: TrainState, occ_grid, poses_all, directions,
-                         rays_store, key, pool_mult: int = 0,
-                         chain_length: int = 0, n_intervals: int = 0,
-                         occ_rows=None, dil_rows=None, win_rows=None,
+                         rays_store, key, n_samples: int = 0,
+                         chain_length: int = 0,
+                         occ_rows=None, win_rows=None,
                          n_steps: int = 16
                          ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """`n_steps` device-resident steps as ONE lax.scan program.
@@ -279,8 +279,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         def one(st, _):
             st, m = _device_step_core(
                 st, occ_grid, poses_all, directions, rays_store, key,
-                pool_mult, chain_length, n_intervals, occ_rows, dil_rows,
-                win_rows)
+                n_samples, chain_length, occ_rows, win_rows)
             return st, m
 
         state, ms = jax.lax.scan(one, state, None, length=n_steps)
