@@ -160,7 +160,10 @@ class NeRFSystem:
         # (the reference marches up to 1024 warmup samples/ray instead —
         # front-truncation keeps the visible surface and self-corrects as
         # the grid prunes).
-        self._pool_buckets = (8, 16, 32, 64)
+        # multiples of 8: per-sample cost scales linearly with S, so coarse
+        # power-of-2 buckets would pay up to 2x for a few % of demand
+        # overshoot; each bucket is one extra jit variant (cheap, cached)
+        self._pool_buckets = (8, 16, 24, 32, 40, 48, 56, 64)
         self._pool_mult = self.rcfg.train_pool_mult
         self._pool_demand = 0.0
         # static dt-chain bound sized to the scene's actual max ray range
