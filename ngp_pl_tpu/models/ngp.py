@@ -102,6 +102,13 @@ class NGP:
         self.spec = grid_spec_for(cfg)
         self.need_x_grad = need_x_grad
         self.dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" else jnp.float32
+        # fused Pallas field tail: reference geometry, no direction grads
+        # (pose refinement needs dL/d_dir -> XLA tail); interpret-mode
+        # Pallas on CPU is far slower than the XLA tail, so TPU only
+        from ngp_pl_tpu.ops.field_pallas import field_tail_supported
+
+        self.fused_tail = (field_tail_supported(cfg) and not need_x_grad
+                           and jax.default_backend() != "cpu")
 
     def init(self, key) -> Params:
         return init_ngp_params(key, self.cfg)
@@ -166,21 +173,47 @@ class NGP:
         rays_d: jnp.ndarray,       # (N, 3) per-ray view directions
         exposure: Optional[jnp.ndarray] = None,   # (N, 1)
     ):
-        """Strided-layout field eval: (sigma (N, S), rgb (N, S, 3)).
+        """Strided-layout field eval: (sigma (N, S), rgb_t (3, N, S)).
 
         Identical math to forward(), exploiting that view direction is
         constant along a ray: normalization + SH run once per RAY (N x 16)
         instead of per sample (N*S x 16) — the reference evaluates SH per
         sample because its CSR layout loses the ray structure
-        (rendering.py:142-151)."""
+        (rendering.py:142-151).  rgb is returned channel-major (3, N, S):
+        see composite_train_strided for the layout rationale.
+
+        On TPU with the reference geometry the whole post-encode stack runs
+        as one fused Pallas kernel (ops/field_pallas.py); the XLA path
+        remains for HDR mode, pose refinement (direction grads) and CPU.
+        """
         cfg = self.cfg
         N, S = xyz.shape[0], xyz.shape[1]
-        sigma, h = self.density(params, xyz.reshape(N * S, 3),
-                                return_feat=True)
+        P = N * S
         d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         sh_ray = sh_encode((d + 1.0) * 0.5, cfg.sh_degree)      # (N, 16)
+
+        if self.fused_tail and exposure is None:
+            from ngp_pl_tpu.ops.field_pallas import _pick_bn, field_tail
+
+            bn = _pick_bn(P)
+            if bn:
+                xn = ((xyz.reshape(P, 3) + cfg.scale)
+                      / (2.0 * cfg.scale))
+                h1 = hash_encode_mlp(xn, params["hash_table"],
+                                     params["sigma_mlp"][0], self.spec,
+                                     need_x_grad=self.need_x_grad)
+                sh_t = jnp.broadcast_to(
+                    sh_ray.T[:, :, None], (sh_ray.shape[-1], N, S)
+                ).reshape(-1, P)
+                wr3p = jnp.pad(params["rgb_mlp"][2], ((0, 0), (0, 5)))
+                out_t = field_tail(bn, h1, sh_t, params["sigma_mlp"][1],
+                                   params["rgb_mlp"][0], params["rgb_mlp"][1],
+                                   wr3p)
+                return out_t[0].reshape(N, S), out_t[1:4].reshape(3, N, S)
+
+        sigma, h = self.density(params, xyz.reshape(P, 3), return_feat=True)
         sh = jnp.broadcast_to(sh_ray[:, None, :], (N, S, sh_ray.shape[-1])
-                              ).reshape(N * S, -1)
+                              ).reshape(P, -1)
         feats = jnp.concatenate([sh, h], axis=-1)
         if cfg.rgb_act == "Sigmoid":
             rgb = _mlp_apply(params["rgb_mlp"], feats, self.dtype,
@@ -188,7 +221,7 @@ class NGP:
         else:
             log_rad = _mlp_apply(params["rgb_mlp"], feats, self.dtype)
             log_exp = (jnp.log(exposure)[:, None, :].repeat(S, 1)
-                       .reshape(N * S, 1) if exposure is not None else 0.0)
+                       .reshape(P, 1) if exposure is not None else 0.0)
             chans = []
             for i in range(3):
                 inp = log_rad[:, i:i + 1] + log_exp
@@ -196,7 +229,8 @@ class NGP:
                     _mlp_apply(params["tonemapper"][i], inp, self.dtype,
                                out_act=jax.nn.sigmoid))
             rgb = jnp.concatenate(chans, axis=-1)
-        return sigma.reshape(N, S), rgb.reshape(N, S, 3)
+        return (sigma.reshape(N, S),
+                jnp.moveaxis(rgb.reshape(N, S, 3), -1, 0))
 
     def __call__(self, params, x, d, **kw):
         return self.forward(params, x, d, **kw)

@@ -171,6 +171,7 @@ def render_rays_train(
     out["rm_counts"] = m.rm_counts
     out["chain_demand"] = m.chain_demand
     out["chain_demand_q"] = m.chain_demand_q
+    out["vr_counts"] = out["vr_samples"]          # (N,) effective samples
     out["vr_samples"] = out["vr_samples"].sum()
     return out
 

@@ -81,7 +81,7 @@ def composite_train(
 
 def composite_train_strided(
     sigmas: jnp.ndarray,     # (N, S)
-    rgbs: jnp.ndarray,       # (N, S, 3)
+    rgb_t: jnp.ndarray,      # (3, N, S) — channel-major (see note)
     deltas: jnp.ndarray,     # (N, S)
     ts: jnp.ndarray,         # (N, S)
     valid: jnp.ndarray,      # (N, S) bool
@@ -93,7 +93,9 @@ def composite_train_strided(
     With ray r owning row r, the segment scan degenerates to a LANE-axis
     cumsum over S and every per-ray reduction to a lane sum — no offsets, no
     segment scatter (the CSR form paid 3.7 ms of segment_sum + 1.4 ms of
-    global cumsum at the bench shapes).  Autodiff of this graph reproduces
+    global cumsum at the bench shapes).  rgb arrives channel-major
+    (3, N, S): a (P, 3) sample-major array would be lane-padded to (P, 128)
+    in HBM — a 42x read amplification.  Autodiff of this graph reproduces
     the reference's hand-written backward (volumerendering.cu:87-202)."""
     sd = jnp.where(valid, sigmas * deltas, 0.0)
     excl = jnp.cumsum(sd, axis=1) - sd
@@ -104,7 +106,7 @@ def composite_train_strided(
     return {
         "opacity": w.sum(axis=1),
         "depth": (w * ts).sum(axis=1),
-        "rgb": jnp.einsum("ns,nsc->nc", w, rgbs),
+        "rgb": jnp.einsum("ns,cns->nc", w, rgb_t),
         "ws": w,
         "vr_samples": (valid & keep).sum(axis=1).astype(jnp.int32),
     }

@@ -281,11 +281,18 @@ class NeRFSystem:
             return
         import numpy as _np
 
-        rm, chain_max, chain_q, rm_q = (float(v) for v in _np.asarray(prev))
+        rm, chain_max, chain_q, rm_q, vr_q = (
+            float(v) for v in _np.asarray(prev))
         # per-ray sample budget S: sized from the 99th-percentile per-ray
-        # occupied count (pre-clip), so <=1% of rays lose chain tail samples
-        # that sit behind hundreds of composited samples (T ~= 0)
-        self._pool_demand = max(0.8 * self._pool_demand, rm_q * 1.1)
+        # EFFECTIVE sample count (post early-stop) — samples beyond the
+        # T < 1e-4 horizon have exactly zero gradient, so truncating them is
+        # free; the reference evaluates them anyway (rendering.py:142-151).
+        # vr is measured under the current cap, so saturation (vr_q ~= S)
+        # demands growth; rm_q (pre-clip occupied count) bounds from above.
+        S = self._pool_mult
+        want = 2.0 * S if vr_q >= 0.95 * S else vr_q * 1.3 + 2.0
+        want = min(want, rm_q * 1.1)
+        self._pool_demand = max(0.8 * self._pool_demand, want)
         for m in self._pool_buckets:
             if m >= self._pool_demand:
                 self._pool_mult = m

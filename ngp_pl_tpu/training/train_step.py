@@ -154,6 +154,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "vr_samples": results["vr_samples"],
             "rm_counts_max": results["rm_counts"].max(),
             "rm_counts_q": _q99(results["rm_counts"]),
+            "vr_counts_q": _q99(results["vr_counts"]),
             "chain_demand": results["chain_demand"],
             "chain_demand_q": results["chain_demand_q"],
         }
@@ -192,6 +193,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 aux["chain_demand"].astype(jnp.float32),
                 aux["chain_demand_q"].astype(jnp.float32),
                 aux["rm_counts_q"].astype(jnp.float32),
+                aux["vr_counts_q"].astype(jnp.float32),
             ]),
         }
         return (

@@ -89,8 +89,8 @@ def test_strided_composite_matches_csr():
     valid = np.arange(S)[None, :] < counts[:, None]
 
     out_s = jax.jit(composite_train_strided)(
-        jnp.asarray(sig), jnp.asarray(rgb), jnp.asarray(dt), jnp.asarray(ts),
-        jnp.asarray(valid))
+        jnp.asarray(sig), jnp.moveaxis(jnp.asarray(rgb), -1, 0),
+        jnp.asarray(dt), jnp.asarray(ts), jnp.asarray(valid))
 
     # CSR layout of the same samples
     P = int(counts.sum()) + 8
@@ -131,8 +131,8 @@ def test_strided_composite_grads_vs_fd():
 
     def f(s):
         out = composite_train_strided(
-            s, jnp.asarray(rgb), jnp.asarray(dt), jnp.asarray(ts),
-            jnp.asarray(valid), T_threshold=0.0)
+            s, jnp.moveaxis(jnp.asarray(rgb), -1, 0), jnp.asarray(dt),
+            jnp.asarray(ts), jnp.asarray(valid), T_threshold=0.0)
         return (out["rgb"].sum() + 0.3 * out["depth"].sum()
                 + 0.1 * out["opacity"].sum())
 
