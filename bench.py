@@ -76,7 +76,9 @@ def main():
     m = system.step_block()
     fence(m)
 
-    steps_meas = (steps_meas // nb) * nb
+    # at least one block: BENCH_STEPS below the block size would otherwise
+    # truncate to zero measured steps (divide-by-zero window)
+    steps_meas = max(nb, (steps_meas // nb) * nb)
     t0 = time.time()
     for i in range(steps_meas // nb):
         m = system.step_block()

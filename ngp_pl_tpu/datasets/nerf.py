@@ -1,4 +1,10 @@
-"""NeRF-synthetic (Blender) loader (reference datasets/nerf.py)."""
+"""Blender / NeRF-synthetic format (behavioral spec: reference
+datasets/nerf.py — transforms_*.json, 800^2 frames, camera_angle_x focal,
+orbit radius 1.5; Jrender per-scene radius/shift table, nerf.py:55-79).
+
+Structured as a declarative SceneManifest (see datasets/manifest.py): this
+module only knows the JSON schema and the per-scene tables.
+"""
 from __future__ import annotations
 
 import json
@@ -7,64 +13,59 @@ import os
 import numpy as np
 
 from ngp_pl_tpu.datasets.base import BaseDataset
-from ngp_pl_tpu.datasets.color_utils import read_image
-from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+from ngp_pl_tpu.datasets.manifest import (
+    Frame,
+    SceneManifest,
+    WorldMap,
+    install,
+    pinhole_K,
+)
+
+# Jrender scenes orbit at non-unit radii / off-center (reference nerf.py:57-68)
+_JRENDER_RADIUS = {"Easyship": 1.2, "Scar": 1.8, "Coffee": 2.5, "Car": 0.8}
+_JRENDER_SHIFT = {"Coffee": (0.0, -0.4465, 0.0), "Car": (-0.7, 0.0, 0.0)}
+
+
+def _load_json(root: str, split: str) -> dict:
+    with open(os.path.join(root, f"transforms_{split}.json")) as f:
+        return json.load(f)
+
+
+def _split_frames(root: str, split: str) -> list:
+    if split == "trainval":
+        return (_load_json(root, "train")["frames"]
+                + _load_json(root, "val")["frames"])
+    return _load_json(root, split)["frames"]
 
 
 class NeRFDataset(BaseDataset):
     def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
-        self.read_intrinsics()
+        meta = _load_json(root_dir, "train")
+        side = int(800 * downsample)
+        focal = 0.5 * 800 / np.tan(0.5 * meta["camera_angle_x"]) * downsample
+
+        scene = os.path.basename(os.path.normpath(root_dir))
+        jrender = "Jrender_Dataset" in root_dir
+        world = WorldMap(
+            radius=_JRENDER_RADIUS.get(scene, 1.5) if jrender else 1.5,
+            shift=np.float32(_JRENDER_SHIFT.get(scene, (0, 0, 0)))
+            if jrender else np.zeros(3, np.float32))
+
+        frames = []
         if kwargs.get("read_meta", True):
-            self.read_meta(split)
+            for fr in _split_frames(root_dir, split):
+                img = os.path.join(root_dir, f"{fr['file_path']}.png")
+                frames.append(Frame(
+                    pose=np.array(fr["transform_matrix"], np.float32)[:3],
+                    image=img if os.path.exists(img) else None))
 
-    def read_intrinsics(self):
-        with open(os.path.join(self.root_dir, "transforms_train.json")) as f:
-            meta = json.load(f)
-        w = h = int(800 * self.downsample)
-        fx = fy = 0.5 * 800 / np.tan(0.5 * meta["camera_angle_x"]) * self.downsample
-        self.K = np.float32([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
-        self.directions = get_ray_directions(h, w, self.K)
-        self.img_wh = (w, h)
-
-    def _scene_scale_shift(self):
-        """Per-scene pose-radius scaling (reference nerf.py:55-79)."""
-        if "Jrender_Dataset" in self.root_dir:
-            scene = os.path.basename(os.path.normpath(self.root_dir))
-            radius = {"Easyship": 1.2, "Scar": 1.8, "Coffee": 2.5,
-                      "Car": 0.8}.get(scene, 1.5)
-            shift = {"Coffee": np.float32([0, -0.4465, 0]),
-                     "Car": np.float32([-0.7, 0, 0])}.get(
-                         scene, np.zeros(3, np.float32))
-            return radius, shift, True
-        return 1.5, np.zeros(3, np.float32), False
-
-    def read_meta(self, split):
-        if split == "trainval":
-            frames = []
-            for s in ("train", "val"):
-                with open(os.path.join(self.root_dir,
-                                       f"transforms_{s}.json")) as f:
-                    frames += json.load(f)["frames"]
-        else:
-            with open(os.path.join(self.root_dir,
-                                   f"transforms_{split}.json")) as f:
-                frames = json.load(f)["frames"]
-
-        radius, shift, jrender = self._scene_scale_shift()
-        rays, poses = [], []
-        for frame in frames:
-            c2w = np.array(frame["transform_matrix"], np.float32)[:3, :4]
-            if jrender:
-                c2w[:, :2] *= -1  # [left up front] -> [right down front]
-            else:
-                c2w[:, 1:3] *= -1  # [right up back] -> [right down front]
-            c2w[:, 3] *= radius / np.linalg.norm(c2w[:, 3])
-            c2w[:, 3] += shift
-            poses.append(c2w)
-            img_path = os.path.join(self.root_dir, f"{frame['file_path']}.png")
-            if os.path.exists(img_path):
-                rays.append(read_image(img_path, self.img_wh))
-        if rays:
-            self.rays = np.stack(rays).astype(np.float32)
-        self.poses = np.stack(poses).astype(np.float32)
+        install(self, SceneManifest(
+            K=pinhole_K(focal, focal, side / 2, side / 2),
+            img_wh=(side, side),
+            frames=frames,
+            # Jrender poses carry [left up front] columns, Blender's
+            # [right up back]
+            convention="luf" if jrender else "rub",
+            world=world,
+        ))

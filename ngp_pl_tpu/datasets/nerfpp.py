@@ -1,62 +1,53 @@
-"""NeRF++ layout loader (reference datasets/nerfpp.py):
-{train,val,test}/{rgb,pose,intrinsics} + optional camera_path test trajectory."""
+"""NeRF++ layout (behavioral spec: reference datasets/nerfpp.py —
+{train,val,test}/{rgb,pose,intrinsics} file triples, camera_path render
+trajectory, poses already normalized by the dataset author).
+
+Structured as a declarative SceneManifest (see datasets/manifest.py).
+"""
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
 
 from ngp_pl_tpu.datasets.base import BaseDataset
-from ngp_pl_tpu.datasets.color_utils import read_image
-from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+from ngp_pl_tpu.datasets.manifest import (
+    Frame,
+    SceneManifest,
+    install,
+    pose_txt,
+    sorted_glob,
+)
+
+
+def _intrinsics(root: str, downsample: float):
+    from PIL import Image
+
+    K = np.loadtxt(sorted_glob(root, "train/intrinsics/*.txt")[0],
+                   dtype=np.float32).reshape(4, 4)[:3, :3]
+    K[:2] *= downsample
+    w, h = Image.open(sorted_glob(root, "train/rgb/*")[0]).size
+    return K, (int(w * downsample), int(h * downsample))
+
+
+def _frames(root: str, split: str):
+    if split == "test_traj":
+        return [Frame(pose=pose_txt(p))
+                for p in sorted_glob(root, "camera_path/pose/*.txt")]
+    parts = ("train", "val") if split == "trainval" else (split,)
+    frames = []
+    for s in parts:
+        imgs = sorted_glob(root, s, "rgb/*")
+        poses = sorted_glob(root, s, "pose/*.txt")
+        frames += [Frame(pose=pose_txt(p), image=img)
+                   for img, p in zip(imgs, poses)]
+    return frames
 
 
 class NeRFPPDataset(BaseDataset):
     def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
-        self.read_intrinsics()
-        if kwargs.get("read_meta", True):
-            self.read_meta(split)
-
-    def read_intrinsics(self):
-        from PIL import Image
-
-        K = np.loadtxt(
-            sorted(glob.glob(os.path.join(self.root_dir,
-                                          "train/intrinsics/*.txt")))[0],
-            dtype=np.float32).reshape(4, 4)[:3, :3]
-        K[:2] *= self.downsample
-        w, h = Image.open(
-            sorted(glob.glob(os.path.join(self.root_dir, "train/rgb/*")))[0]).size
-        w, h = int(w * self.downsample), int(h * self.downsample)
-        self.K = K
-        self.directions = get_ray_directions(h, w, self.K)
-        self.img_wh = (w, h)
-
-    def read_meta(self, split):
-        rays, poses = [], []
-        if split == "test_traj":
-            pose_files = sorted(
-                glob.glob(os.path.join(self.root_dir, "camera_path/pose/*.txt")))
-            poses = [np.loadtxt(p, dtype=np.float32).reshape(4, 4)[:3]
-                     for p in pose_files]
-        else:
-            if split == "trainval":
-                img_paths, pose_files = [], []
-                for s in ("train", "val"):
-                    img_paths += sorted(
-                        glob.glob(os.path.join(self.root_dir, s, "rgb/*")))
-                    pose_files += sorted(
-                        glob.glob(os.path.join(self.root_dir, s, "pose/*.txt")))
-            else:
-                img_paths = sorted(
-                    glob.glob(os.path.join(self.root_dir, split, "rgb/*")))
-                pose_files = sorted(
-                    glob.glob(os.path.join(self.root_dir, split, "pose/*.txt")))
-            for img_path, pose in zip(img_paths, pose_files):
-                poses.append(np.loadtxt(pose, dtype=np.float32).reshape(4, 4)[:3])
-                rays.append(read_image(img_path, self.img_wh))
-            if rays:
-                self.rays = np.stack(rays).astype(np.float32)
-        self.poses = np.stack(poses).astype(np.float32)
+        K, img_wh = _intrinsics(root_dir, downsample)
+        frames = _frames(root_dir, split) if kwargs.get("read_meta", True) \
+            else []
+        install(self, SceneManifest(K=K, img_wh=img_wh, frames=frames))

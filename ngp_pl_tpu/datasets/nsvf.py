@@ -1,99 +1,112 @@
-"""NSVF-format loader: Synthetic_NeRF/NSVF, BlendedMVS, TanksAndTemples
-(reference datasets/nsvf.py)."""
+"""NSVF format: Synthetic_NeRF/NSVF, BlendedMVS, TanksAndTemples (behavioral
+spec: reference datasets/nsvf.py — bbox.txt scene box, rgb/ + pose/ file
+pairs with split digit prefixes, test_traj.txt render paths, per-sub-dataset
+intrinsics, per-scene bound factors).
+
+Structured as a declarative SceneManifest (see datasets/manifest.py): the
+split conventions are lookup tables, the world normalization is a WorldMap
+derived from bbox.txt, and pose axis conventions are tags.
+"""
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
 
 from ngp_pl_tpu.datasets.base import BaseDataset
-from ngp_pl_tpu.datasets.color_utils import read_image
-from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+from ngp_pl_tpu.datasets.manifest import (
+    Frame,
+    SceneManifest,
+    WorldMap,
+    install,
+    pinhole_K,
+    pose_txt,
+    sorted_glob,
+)
+
+# file-name digit prefix per split (reference nsvf.py:75-81); synthetic
+# scenes use 2_ for test, real captures 1_
+_SPLIT_PREFIX = {"train": "0_", "val": "1_", "trainval": "[0-1]_",
+                 "trainvaltest": "[0-2]_"}
+# scene bounds that need enlarging beyond the 1.05 default (nsvf.py:26-27)
+_BOUND_FACTOR = {"Mic": 1.2, "Lego": 1.1}
+# (width, height) per sub-dataset family at downsample 1 (nsvf.py:32-51)
+_FAMILY_WH = {"Synthetic": (800, 800), "BlendedMVS": (768, 576),
+              "Tanks": (1920, 1080), "Ignatius": (1920, 1080)}
+
+
+def _family(root: str) -> str:
+    for name in _FAMILY_WH:
+        if name in root:
+            return name
+    raise ValueError(f"unknown NSVF sub-dataset: {root}")
+
+
+def _scene_world(root: str) -> WorldMap:
+    box = np.loadtxt(os.path.join(root, "bbox.txt"))[:6].reshape(2, 3)
+    factor = next((v for k, v in _BOUND_FACTOR.items() if k in root), 1.0)
+    return WorldMap(shift=((box[1] + box[0]) / 2).astype(np.float32),
+                    scale=float((box[1] - box[0]).max() / 2 * 1.05 * factor))
+
+
+def _intrinsics(root: str, family: str, downsample: float):
+    w0, h0 = _FAMILY_WH[family]
+    w, h = int(w0 * downsample), int(h0 * downsample)
+    path = os.path.join(root, "intrinsics.txt")
+    if family in ("Synthetic", "Ignatius"):     # focal-only first token
+        with open(path) as f:
+            fl = float(f.readline().split()[0]) * downsample
+        return pinhole_K(fl, fl, w / 2, h / 2), (w, h)
+    K = np.loadtxt(path, dtype=np.float32)[:3, :3]
+    K[:2] *= downsample
+    return K, (w, h)
+
+
+def _traj_frames(root: str):
+    """Pose-only render trajectory (reference nsvf.py:60-73)."""
+    if "Ignatius" in root:
+        raw = [pose_txt(p) for p in sorted_glob(root, "test_pose/*.txt")]
+    else:
+        raw = list(np.loadtxt(os.path.join(root, "test_traj.txt"))
+                   .reshape(-1, 4, 4)[:, :3].astype(np.float32))
+    return [Frame(pose=p) for p in raw]
+
+
+def _image_frames(root: str, family: str, split: str):
+    prefix = _SPLIT_PREFIX.get(split)
+    if prefix is None:
+        if family == "Synthetic":
+            prefix = "2_"
+        elif split == "test":
+            prefix = "1_"
+        else:
+            raise ValueError(f"{split} split not recognized!")
+    imgs = sorted_glob(root, "rgb", prefix + "*.png")
+    poses = sorted_glob(root, "pose", prefix + "*.txt")
+    return [Frame(pose=pose_txt(p), image=img)
+            for img, p in zip(imgs, poses)]
 
 
 class NSVFDataset(BaseDataset):
     def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
-        self.read_intrinsics()
+        family = _family(root_dir)
+        K, img_wh = _intrinsics(root_dir, family, downsample)
+
+        traj = split == "test_traj"
+        frames, world = [], WorldMap()
         if kwargs.get("read_meta", True):
-            xyz = np.loadtxt(os.path.join(root_dir, "bbox.txt"))[:6].reshape(2, 3)
-            self.shift = (xyz[1] + xyz[0]) / 2
-            self.scale = (xyz[1] - xyz[0]).max() / 2 * 1.05  # enlarge a little
-            # per-scene bound fixes (reference nsvf.py:26-27)
-            if "Mic" in self.root_dir:
-                self.scale *= 1.2
-            elif "Lego" in self.root_dir:
-                self.scale *= 1.1
-            self.read_meta(split)
+            world = _scene_world(root_dir)
+            frames = (_traj_frames(root_dir) if traj
+                      else _image_frames(root_dir, family, split))
 
-    def read_intrinsics(self):
-        if "Synthetic" in self.root_dir or "Ignatius" in self.root_dir:
-            with open(os.path.join(self.root_dir, "intrinsics.txt")) as f:
-                fx = fy = float(f.readline().split()[0]) * self.downsample
-            if "Synthetic" in self.root_dir:
-                w = h = int(800 * self.downsample)
-            else:
-                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
-            K = np.float32([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]])
-        else:
-            K = np.loadtxt(os.path.join(self.root_dir, "intrinsics.txt"),
-                           dtype=np.float32)[:3, :3]
-            if "BlendedMVS" in self.root_dir:
-                w, h = int(768 * self.downsample), int(576 * self.downsample)
-            elif "Tanks" in self.root_dir:
-                w, h = int(1920 * self.downsample), int(1080 * self.downsample)
-            else:
-                raise ValueError(f"unknown NSVF sub-dataset: {self.root_dir}")
-            K[:2] *= self.downsample
-        self.K = K.astype(np.float32)
-        self.directions = get_ray_directions(h, w, self.K)
-        self.img_wh = (w, h)
-
-    def _normalize_pose(self, c2w):
-        c2w = c2w.copy()
-        c2w[:, 3] -= self.shift
-        c2w[:, 3] /= 2 * self.scale  # bound the scene inside [-0.5, 0.5]
-        return c2w
-
-    def read_meta(self, split):
-        rays, poses = [], []
-        if split == "test_traj":  # BlendedMVS / TanksAndTemples
-            if "Ignatius" in self.root_dir:
-                pose_files = sorted(
-                    glob.glob(os.path.join(self.root_dir, "test_pose/*.txt")))
-                raw = [np.loadtxt(p) for p in pose_files]
-            else:
-                raw = np.loadtxt(
-                    os.path.join(self.root_dir, "test_traj.txt")).reshape(-1, 4, 4)
-            for p in raw:
-                c2w = np.array(p, np.float32)[:3]
-                c2w[:, 0] *= -1  # [left down front] -> [right down front]
-                poses.append(self._normalize_pose(c2w))
-        else:
-            prefix = {
-                "train": "0_", "trainval": "[0-1]_", "trainvaltest": "[0-2]_",
-                "val": "1_",
-            }.get(split)
-            if prefix is None:
-                if "Synthetic" in self.root_dir:
-                    prefix = "2_"      # synthetic test split
-                elif split == "test":
-                    prefix = "1_"      # real-scene test split
-                else:
-                    raise ValueError(f"{split} split not recognized!")
-            img_paths = sorted(
-                glob.glob(os.path.join(self.root_dir, "rgb", prefix + "*.png")))
-            pose_files = sorted(
-                glob.glob(os.path.join(self.root_dir, "pose", prefix + "*.txt")))
-            for img_path, pose in zip(img_paths, pose_files):
-                c2w = np.loadtxt(pose, dtype=np.float32)[:3]
-                poses.append(self._normalize_pose(c2w))
-                img = read_image(img_path, self.img_wh)
-                if "Jade" in self.root_dir or "Fountain" in self.root_dir:
-                    # black background -> white (reference nsvf.py:93-95)
-                    img[np.all(img <= 0.1, axis=-1)] = 1.0
-                rays.append(img)
-            if rays:
-                self.rays = np.stack(rays).astype(np.float32)
-        self.poses = np.stack(poses).astype(np.float32)
+        install(self, SceneManifest(
+            K=K, img_wh=img_wh, frames=frames,
+            # stored poses are already [right down front]; the published
+            # test trajectories carry [left down front] columns
+            convention="ldf" if traj else "rdf",
+            world=world,
+            # these scenes ship black backgrounds on white-bg captures
+            lift_black_to_white=("Jade" in root_dir
+                                 or "Fountain" in root_dir),
+        ))

@@ -1,60 +1,65 @@
-"""RTMV loader (reference datasets/rtmv.py): per-frame JSON camera data,
-train/test split by frame index."""
+"""RTMV format (behavioral spec: reference datasets/rtmv.py — per-frame JSON
+camera_data blocks, images/ directory, frame-index train/test split
+0-100 / 105-150, scene-box normalization for the `bricks` environment).
+
+Structured as a declarative SceneManifest (see datasets/manifest.py).
+"""
 from __future__ import annotations
 
-import glob
 import json
 import os
 
 import numpy as np
 
 from ngp_pl_tpu.datasets.base import BaseDataset
-from ngp_pl_tpu.datasets.color_utils import read_image
-from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
+from ngp_pl_tpu.datasets.manifest import (
+    Frame,
+    SceneManifest,
+    WorldMap,
+    install,
+    pinhole_K,
+    sorted_glob,
+)
+
+# [start, end) frame indices per split (reference rtmv.py:48-51)
+_SPLIT_RANGE = {"train": (0, 100), "trainval": (0, 105), "test": (105, 150)}
+
+
+def _camera_data(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)["camera_data"]
 
 
 class RTMVDataset(BaseDataset):
     def __init__(self, root_dir, split="train", downsample=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
-        self.read_intrinsics()
-        if kwargs.get("read_meta", True):
-            self.read_meta(split)
-
-    def read_intrinsics(self):
-        with open(os.path.join(self.root_dir, "00000.json")) as f:
-            meta = json.load(f)["camera_data"]
-        self.shift = np.array(meta["scene_center_3d_box"])
-        self.scale = (np.array(meta["scene_max_3d_box"])
-                      - np.array(meta["scene_min_3d_box"])).max() / 2 * 1.05
+        meta = _camera_data(os.path.join(root_dir, "00000.json"))
         intr = meta["intrinsics"]
-        fx, fy = intr["fx"] * self.downsample, intr["fy"] * self.downsample
-        cx, cy = intr["cx"] * self.downsample, intr["cy"] * self.downsample
-        w = int(meta["width"] * self.downsample)
-        h = int(meta["height"] * self.downsample)
-        self.K = np.float32([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
-        self.directions = get_ray_directions(h, w, self.K)
-        self.img_wh = (w, h)
+        w = int(meta["width"] * downsample)
+        h = int(meta["height"] * downsample)
+        K = pinhole_K(intr["fx"] * downsample, intr["fy"] * downsample,
+                      intr["cx"] * downsample, intr["cy"] * downsample)
 
-    def read_meta(self, split):
-        start, end = {
-            "train": (0, 100), "trainval": (0, 105), "test": (105, 150),
-        }.get(split, (0, 150))
-        img_paths = sorted(
-            glob.glob(os.path.join(self.root_dir, "images/*")))[start:end]
-        pose_files = sorted(
-            glob.glob(os.path.join(self.root_dir, "*.json")))[start:end]
+        # scene box -> unit box, only used by the `bricks` environment
+        # (other RTMV environments ship pre-normalized cameras)
+        world = WorldMap()
+        if "bricks" in root_dir:
+            lo = np.array(meta["scene_min_3d_box"])
+            hi = np.array(meta["scene_max_3d_box"])
+            world = WorldMap(
+                shift=np.asarray(meta["scene_center_3d_box"], np.float32),
+                scale=float((hi - lo).max() / 2 * 1.05))
 
-        rays, poses = [], []
-        for img_path, pose in zip(img_paths, pose_files):
-            with open(pose) as f:
-                p = json.load(f)["camera_data"]
-            c2w = np.array(p["cam2world"], np.float32).T[:3]
-            c2w[:, 1:3] *= -1
-            if "bricks" in self.root_dir:
-                c2w[:, 3] -= self.shift
-                c2w[:, 3] /= 2 * self.scale  # bound in [-0.5, 0.5]
-            poses.append(c2w)
-            rays.append(read_image(img_path, self.img_wh))
-        if rays:
-            self.rays = np.stack(rays).astype(np.float32)
-        self.poses = np.stack(poses).astype(np.float32)
+        frames = []
+        if kwargs.get("read_meta", True):
+            start, end = _SPLIT_RANGE.get(split, (0, 150))
+            imgs = sorted_glob(root_dir, "images/*")[start:end]
+            cams = sorted_glob(root_dir, "*.json")[start:end]
+            for img, cam in zip(imgs, cams):
+                # cam2world is stored column-major; transposed it is a c2w
+                # with [right up back] columns
+                raw = np.array(_camera_data(cam)["cam2world"], np.float32)
+                frames.append(Frame(pose=raw.T[:3], image=img))
+
+        install(self, SceneManifest(K=K, img_wh=(w, h), frames=frames,
+                                    convention="rub", world=world))

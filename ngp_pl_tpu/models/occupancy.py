@@ -50,10 +50,15 @@ class OccupancyGridState(NamedTuple):
 
 
 def grid_rows(occ_grid: jnp.ndarray, cascades: int, grid_size: int):
-    """(occ_rows, dil_rows, win_rows) packed forms of the occupancy grid."""
+    """(occ_rows, dil_rows, win_rows) packed forms of the occupancy grid.
+
+    All three derive from the bit-packed z-lines with shift/mask math — the
+    uint8 grid is read exactly once per refresh."""
+    from ngp_pl_tpu.ops.ray_march import occupancy_windows_from_rows
+
     rows = occupancy_lines(occ_grid)
     return (rows, dilate_lines(rows, cascades, grid_size),
-            occupancy_windows(occ_grid))
+            occupancy_windows_from_rows(rows, cascades, grid_size))
 
 
 def init_grid_state(cfg: NGPConfig) -> OccupancyGridState:

@@ -391,6 +391,9 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     # gets a LONG chain so empty-space traversal (camera to first surface)
     # completes in ~1-2 rounds instead of burning a full field eval every 64
     # steps of advance; window gathers make long chains cheap.
+    # first bucket honors min_s (reference rendering.py:80: N_samples =
+    # clamp(N_rays // N_alive, min_samples, 64) == min_samples while most
+    # rays are alive); later buckets grow 4x as the alive set shrinks
     buckets = []
     s, ns = chunk, max(min_s, 4)
     first = True

@@ -395,6 +395,52 @@ WIN_APRON = 2   # cells of apron on each side: window w covers [4w-2, 4w+6)
 WIN_WORDS = WIN_P ** 3 // 32
 
 
+def occupancy_windows_from_rows(occ_rows: jnp.ndarray, cascades: int,
+                                grid_size: int) -> jnp.ndarray:
+    """Packed-bit rebuild of the 8^3 windows from z-line rows.
+
+    Equivalent to `occupancy_windows(occ_grid)` but computed from the
+    bit-packed (C*G*G, W) uint32 z-lines with pure shift/mask math: the
+    per-window 8-bit z-field is sliced out of each line's words (32 static
+    shift patterns over 16K rows), then the overlapping x/y window expansion
+    runs over (C, G, G, NW) uint32 z-fields — 32x less data than the bool
+    take/transpose formulation this replaces (the grid refresh's dominant
+    cost, ~58 ms -> bit math over ~2M words).
+    """
+    C, G = cascades, grid_size
+    W = occ_rows.shape[-1]
+    NW = G // WIN_B
+    rows = occ_rows.reshape(C * G * G, W)
+    # 8-bit z-field per window anchor: bits [4wz-2, 4wz+6) of the z-line
+    zf_parts = []
+    for wz in range(NW):
+        z0 = WIN_B * wz - WIN_APRON
+        if z0 < 0:
+            f = (rows[:, 0] << jnp.uint32(-z0)) & jnp.uint32(0xFF)
+        else:
+            w_lo, s = z0 // 32, z0 % 32
+            f = rows[:, w_lo] >> jnp.uint32(s)
+            if s > 32 - WIN_P and w_lo + 1 < W:
+                f = f | (rows[:, w_lo + 1] << jnp.uint32(32 - s))
+            f = f & jnp.uint32(0xFF)
+        zf_parts.append(f)
+    zf = jnp.stack(zf_parts, axis=-1).reshape(C, G, G, NW)
+    # overlapping 8-wide x/y windows (zero apron outside the grid)
+    zfp = jnp.pad(zf, ((0, 0), (WIN_APRON, WIN_P - WIN_B - WIN_APRON),
+                       (WIN_APRON, WIN_P - WIN_B - WIN_APRON), (0, 0)))
+    idx = (WIN_B * jnp.arange(NW, dtype=jnp.int32)[:, None]
+           + jnp.arange(WIN_P, dtype=jnp.int32)[None, :]).reshape(-1)
+    a = jnp.take(zfp, idx, axis=1)
+    a = jnp.take(a, idx, axis=2)                     # (C, NW*8, NW*8, NW)
+    a = a.reshape(C, NW, WIN_P, NW, WIN_P, NW).transpose(0, 1, 3, 5, 2, 4)
+    # word w = lx*2 + ly//4 holds lane (ly%4)*8 + lz: shift the 4 z-fields of
+    # one ly quartet into one uint32
+    a = a.reshape(C, NW, NW, NW, WIN_P, WIN_WORDS // WIN_P, 4)
+    shifts = jnp.uint32(1) << (8 * jnp.arange(4, dtype=jnp.uint32))
+    words = jnp.sum(a * shifts, axis=-1, dtype=jnp.uint32)
+    return words.reshape(C * NW ** 3, WIN_WORDS)
+
+
 def occupancy_windows(occ_grid: jnp.ndarray) -> jnp.ndarray:
     """(C, G, G, G) uint8 -> (C*(G/4)^3, 16) uint32 packed 8^3-cell windows.
 
@@ -405,22 +451,11 @@ def occupancy_windows(occ_grid: jnp.ndarray) -> jnp.ndarray:
     the anchor brick — the windowed marcher fetches one row per 8-step chain
     interval instead of one z-line row per step (8x fewer gathers; gather
     cost is per ROW on TPU, not per byte).  Overlap factor 8 in storage:
-    2 MB per cascade at G=128 — rebuilt with the grid every 16 steps.
+    2 MB per cascade at G=128 — rebuilt with the grid every 16 steps via
+    packed bit math (occupancy_windows_from_rows).
     """
     C, G = occ_grid.shape[0], occ_grid.shape[1]
-    NW = G // WIN_B
-    pad = jnp.pad(occ_grid > 0,
-                  ((0, 0),) + ((WIN_APRON, WIN_P - WIN_B - WIN_APRON),) * 3)
-    idx = (WIN_B * jnp.arange(NW, dtype=jnp.int32)[:, None]
-           + jnp.arange(WIN_P, dtype=jnp.int32)[None, :]).reshape(-1)
-    a = jnp.take(pad, idx, axis=1)
-    a = jnp.take(a, idx, axis=2)
-    a = jnp.take(a, idx, axis=3)                      # (C, NW*8, NW*8, NW*8)
-    a = a.reshape(C, NW, WIN_P, NW, WIN_P, NW, WIN_P)
-    a = a.transpose(0, 1, 3, 5, 2, 4, 6).reshape(C * NW ** 3, WIN_P ** 3)
-    bits = a.reshape(-1, WIN_WORDS, 32).astype(jnp.uint32)
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    return (bits * weights[None, None, :]).sum(axis=-1).astype(jnp.uint32)
+    return occupancy_windows_from_rows(occupancy_lines(occ_grid), C, G)
 
 
 def _occ_window_chain(rays_o, rays_d, t0, KA, win_rows, *, scale, grid_size,
@@ -938,16 +973,20 @@ def march_rays_train_strided(
     )
 
 
-def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
-    """99th-percentile of a per-ray integer demand vector.
+def _qtile(per_ray_need: jnp.ndarray, q: float) -> jnp.ndarray:
+    """q-th percentile of a per-ray integer demand vector.
 
-    Budget feedback uses this instead of the batch max: one grazing outlier
-    ray would otherwise pin every static budget at its worst case.  Rays
-    above the 99th percentile get their chain tail truncated — samples that
+    Budget feedback uses percentiles instead of the batch max: one grazing
+    outlier ray would otherwise pin every static budget at its worst case.
+    Rays above the percentile get their chain tail truncated — samples that
     sit behind ~hundreds of composited samples (T ~= 0)."""
     n = per_ray_need.shape[0]
-    k = max(int(0.99 * n) - 1, 0)
+    k = max(int(q * n) - 1, 0)
     return jnp.sort(per_ray_need)[k].astype(jnp.int32)
+
+
+def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
+    return _qtile(per_ray_need, 0.99)
 
 
 @partial(

@@ -281,16 +281,22 @@ class NeRFSystem:
             return
         import numpy as _np
 
-        rm, chain_max, chain_q, rm_q, vr_q = (
+        rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean = (
             float(v) for v in _np.asarray(prev))
-        # per-ray sample budget S: sized from the 99th-percentile per-ray
-        # EFFECTIVE sample count (post early-stop) — samples beyond the
-        # T < 1e-4 horizon have exactly zero gradient, so truncating them is
-        # free; the reference evaluates them anyway (rendering.py:142-151).
-        # vr is measured under the current cap, so saturation (vr_q ~= S)
-        # demands growth; rm_q (pre-clip occupied count) bounds from above.
+        # per-ray sample budget S: every ray pays S field evals, so S is
+        # sized from the q90 / mean of the per-ray EFFECTIVE sample count
+        # (post T<1e-4 early-stop), NOT the q99 tail — a skewed worst-1% of
+        # rays would otherwise pin every ray's budget at its worst case
+        # (round-2 regression: q99 sizing held S at 64 where the mean demand
+        # was ~12; the CSR pool paid the mean by design, rendering.py:197).
+        # Rays beyond the budget are clipped per-ray front-to-back (the
+        # reference also truncates, raymarching.cu:237-241); their tails sit
+        # behind a nearly-opaque prefix.  Saturation (q90 pinned at the cap
+        # while pre-clip occupied counts exceed it) still grows the bucket.
         S = self._pool_mult
-        want = 2.0 * S if vr_q >= 0.95 * S else vr_q * 1.3 + 2.0
+        want = max(vr_q90 * 1.2 + 1.0, 2.0 * vr_mean)
+        if vr_q90 >= 0.9 * S and rm_q > S:
+            want = max(want, S + 8.0)
         want = min(want, rm_q * 1.1)
         self._pool_demand = max(0.8 * self._pool_demand, want)
         for m in self._pool_buckets:

@@ -21,7 +21,7 @@ from ngp_pl_tpu.config import RenderConfig, TrainConfig
 from ngp_pl_tpu.datasets.ray_utils import axisangle_to_R, get_rays
 from ngp_pl_tpu.models.ngp import NGP, _mlp_apply
 from ngp_pl_tpu.models.rendering import render_rays_train
-from ngp_pl_tpu.ops.ray_march import _q99
+from ngp_pl_tpu.ops.ray_march import _q99, _qtile
 from ngp_pl_tpu.ops.trunc_exp import trunc_exp
 from ngp_pl_tpu.training.losses import nerf_loss, total_loss
 
@@ -155,6 +155,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "rm_counts_max": results["rm_counts"].max(),
             "rm_counts_q": _q99(results["rm_counts"]),
             "vr_counts_q": _q99(results["vr_counts"]),
+            "vr_counts_q90": _qtile(results["vr_counts"], 0.90),
+            "vr_counts_mean": results["vr_counts"].astype(jnp.float32).mean(),
             "chain_demand": results["chain_demand"],
             "chain_demand_q": results["chain_demand_q"],
         }
@@ -194,6 +196,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 aux["chain_demand_q"].astype(jnp.float32),
                 aux["rm_counts_q"].astype(jnp.float32),
                 aux["vr_counts_q"].astype(jnp.float32),
+                aux["vr_counts_q90"].astype(jnp.float32),
+                aux["vr_counts_mean"],
             ]),
         }
         return (
