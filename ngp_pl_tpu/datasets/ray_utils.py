@@ -74,7 +74,10 @@ def axisangle_to_R(v):
         ],
         axis=1,
     )
-    theta = jnp.linalg.norm(v, axis=1)[:, None, None] + 1e-7
+    # safe norm: d|v|/dv is 0/0 = NaN at v = 0, and pose refinement STARTS
+    # at dR = 0 (reference train.py:117-122) — sqrt(v.v + eps) has a zero,
+    # finite gradient there
+    theta = jnp.sqrt(jnp.sum(v * v, axis=1) + 1e-14)[:, None, None]
     eye = jnp.eye(3, dtype=v.dtype)[None]
     R = (
         eye

@@ -27,12 +27,27 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
 
 def _unflatten_into(tree, data: Dict[str, np.ndarray], prefix=""):
     """Rebuild `tree`'s structure with values from `data` (partial update:
-    missing keys keep the existing leaf, reference utils.py:21-26)."""
+    missing keys keep the existing leaf, reference utils.py:21-26).
+
+    Shape mismatches fail loudly: the hash-table geometry (n_levels /
+    n_features / log2_hashmap_size) is baked into the parameter shapes, so a
+    checkpoint trained with different flags cannot be partially loaded."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     leaves = []
     for path, leaf in flat:
         key = prefix + jax.tree_util.keystr(path)
-        leaves.append(data[key] if key in data else leaf)
+        if key in data:
+            new = data[key]
+            if tuple(np.shape(new)) != tuple(np.shape(leaf)):
+                raise ValueError(
+                    f"checkpoint leaf {key!r} has shape {np.shape(new)} but "
+                    f"the model expects {np.shape(leaf)} — the checkpoint "
+                    "was saved with a different model geometry (check "
+                    "--n_levels/--n_features/--log2_hashmap_size and "
+                    "--scale; they must match the training run)")
+            leaves.append(new)
+        else:
+            leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

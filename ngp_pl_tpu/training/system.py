@@ -284,18 +284,21 @@ class NeRFSystem:
         rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean = (
             float(v) for v in _np.asarray(prev))
         # per-ray sample budget S: every ray pays S field evals, so S is
-        # sized from the q90 / mean of the per-ray EFFECTIVE sample count
-        # (post T<1e-4 early-stop), NOT the q99 tail — a skewed worst-1% of
-        # rays would otherwise pin every ray's budget at its worst case
-        # (round-2 regression: q99 sizing held S at 64 where the mean demand
-        # was ~12; the CSR pool paid the mean by design, rendering.py:197).
+        # sized from the MEAN per-ray EFFECTIVE sample count (post T<1e-4
+        # early-stop) — the same total work the CSR pool paid by design
+        # (rendering.py:197) — NOT a tail percentile.  Demand is heavy-
+        # tailed (bench scene: mean ~25, q90 > 64, q99 ~300), so any tail
+        # statistic pins every ray's budget at the worst case (the round-2
+        # regression: q99 sizing held S at 64 where mean demand was ~25).
         # Rays beyond the budget are clipped per-ray front-to-back (the
-        # reference also truncates, raymarching.cu:237-241); their tails sit
-        # behind a nearly-opaque prefix.  Saturation (q90 pinned at the cap
-        # while pre-clip occupied counts exceed it) still grows the bucket.
+        # reference also truncates, raymarching.cu:237-241).  During grid
+        # warmup every chain step is occupied, the cap binds for every ray,
+        # and the signal is meaningless — hold S until the grid prunes.
+        if self._host_step <= self.tcfg.grid_warmup_steps:
+            return
         S = self._pool_mult
-        want = max(vr_q90 * 1.2 + 1.0, 2.0 * vr_mean)
-        if vr_q90 >= 0.9 * S and rm_q > S:
+        want = vr_mean * 1.2 + 2.0
+        if vr_mean >= 0.85 * S and rm_q > S:  # cap binds on the mean: grow
             want = max(want, S + 8.0)
         want = min(want, rm_q * 1.1)
         self._pool_demand = max(0.8 * self._pool_demand, want)

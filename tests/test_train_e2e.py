@@ -80,3 +80,21 @@ def test_host_batch_path_matches_interface(trained_system):
     m = trained_system.step(b)
     assert np.isfinite(float(m["loss"]))
     assert float(m["psnr"]) > 10.0
+
+
+def test_checkpoint_geometry_mismatch_errors(tmp_path, trained_system):
+    """A checkpoint saved with one hash geometry must fail loudly when
+    loaded into a model built with different flags (round-2 advisor
+    finding: the L8F4-vs-L16F2 mismatch previously failed deep inside jit
+    with a shape error)."""
+    import pytest
+
+    from ngp_pl_tpu.training.checkpoint import load_slim_checkpoint
+
+    sys = trained_system
+    p = str(tmp_path / "slim_geom.npz")
+    sys.save_slim(p)
+
+    other = make_system(n_levels=4, n_features=2)
+    with pytest.raises(ValueError, match="different model geometry"):
+        load_slim_checkpoint(p, params=other.state.params)
