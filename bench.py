@@ -39,8 +39,12 @@ def main():
     # O(1k) steps to prune; demand plateaus by ~step 1000 on this scene)
     steps_warm = int(os.environ.get("BENCH_WARM_STEPS", 1024))
     steps_meas = int(os.environ.get("BENCH_STEPS", 192))
+    # BENCH_SCALE > 0.5 exercises the multi-cascade / exponential-stepping
+    # real-scene path (reference benchmark_mipnerf360.sh regime)
+    scale = float(os.environ.get("BENCH_SCALE", 0.5))
 
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=batch_size,
+                       scale=scale,
                        num_epochs=30, exp_name="bench", no_save_test=True)
     train_ds = SyntheticDataset(split="train", img_size=96, n_train=8)
     test_ds = SyntheticDataset(split="test", img_size=96, n_test=1)
@@ -67,8 +71,8 @@ def main():
             fence(m)
             print(f"warm {(i+1)*nb}/{steps_warm} "
                   f"{(time.time()-t_w)/(4*nb)*1e3:.0f}ms/step"
-                  f" pool x{system._pool_mult} chain {system.chain_length}"
-                  f" n_int {system.n_intervals}",
+                  f" {system.layout} x{system._pool_mult}"
+                  f" chain {system.chain_length}",
                   file=sys.stderr, flush=True)
             t_w = time.time()
     fence(m)

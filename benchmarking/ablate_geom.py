@@ -45,7 +45,8 @@ def run(tag, n_levels, n_features, steps):
     rps = 8192 * 64 / (time.time() - t0)
     scores = system.validate(save_images=False)
     print(f"{tag}: rays/s {rps:.0f}  psnr {scores.get('psnr', float('nan')):.2f}"
-          f"  ssim {scores.get('ssim', float('nan')):.4f}", flush=True)
+          f"  ssim {scores.get('ssim', float('nan')):.4f}"
+          f"  layout {system.layout} x{system._pool_mult}", flush=True)
 
 
 def main():

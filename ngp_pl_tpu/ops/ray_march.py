@@ -500,7 +500,7 @@ def _occ_window_chain(rays_o, rays_d, t0, KA, win_rows, *, scale, grid_size,
 @partial(
     jax.jit,
     static_argnames=("scale", "grid_size", "max_samples", "pool_size",
-                     "chain_length"),
+                     "chain_length", "proportional_clip"),
 )
 def march_rays_train_window(
     rays_o: jnp.ndarray,
@@ -514,6 +514,7 @@ def march_rays_train_window(
     max_samples: int,
     pool_size: int,
     chain_length: int,
+    proportional_clip: bool = False,
 ) -> MarchResults:
     """Windowed occupancy march (single cascade, uniform stepping).
 
@@ -558,7 +559,8 @@ def march_rays_train_window(
     kk_all = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
-        occ, kk_all, t0, N, K, max_samples, pool_size, 0.0, dt_min, dt_max)
+        occ, kk_all, t0, N, K, max_samples, pool_size, 0.0, dt_min, dt_max,
+        proportional_clip=proportional_clip)
 
     return MarchResults(
         ts=pool_ts,
@@ -613,7 +615,8 @@ def _nth_set_bit(m: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
-                     exp_step_factor, dt_min, dt_max):
+                     exp_step_factor, dt_min, dt_max,
+                     proportional_clip=False):
     """Deterministic compaction of occupied samples into a flat (pool_size,)
     pool ordered by (ray, t).
 
@@ -621,6 +624,12 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     of each candidate.  t0: (N,) jittered chain start per ray — `ts` is
     reconstructed in the pool as the closed-form chain position `t(t0, k)`,
     bit-identical to the candidate's (same expression, same operands).
+
+    proportional_clip: when total occupied demand exceeds the pool, clip
+    EVERY ray front-to-back to its proportional share instead of dropping
+    whole tail-of-batch rays (which would train those rays toward pure
+    background; during grid warmup an unclipped pool covers only the first
+    few % of the batch).
 
     Scatter cost on TPU is per INPUT ROW (~9-14ns each, regardless of row
     width or drop masks), so the design minimizes scattered rows:
@@ -637,15 +646,28 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     # per-ray occupied-sample cap + bookkeeping.  When the chain itself is
     # shorter than the cap the cap can never bind — skip the full-width
     # (N, K) prefix sum entirely (it is one of the larger VPU passes here)
-    if K <= max_samples:
+    if proportional_clip:
+        occ_i = occ.astype(jnp.int32)
+        incl = jnp.cumsum(occ_i, axis=1)
+        slot = incl - occ_i                                    # excl. in-ray
+        rm_counts = jnp.minimum(incl[:, -1], max_samples)
+        total_raw = jnp.maximum(jnp.sum(rm_counts), 1)
+        scale = jnp.minimum(
+            1.0, pool_size / total_raw.astype(jnp.float32))
+        cap = jnp.floor(rm_counts.astype(jnp.float32) * scale
+                        ).astype(jnp.int32)                    # sum <= pool
+        occ = occ & (slot < cap[:, None])
+        counts = jnp.minimum(rm_counts, cap)
+    elif K <= max_samples:
         rm_counts = occ.sum(axis=1, dtype=jnp.int32)
+        counts = rm_counts
     else:
         occ_i = occ.astype(jnp.int32)
         incl = jnp.cumsum(occ_i, axis=1)
         slot = incl - occ_i                                    # excl. in-ray
         occ = occ & (slot < max_samples)
         rm_counts = jnp.minimum(incl[:, -1], max_samples)
-    counts = rm_counts
+        counts = rm_counts
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
@@ -731,7 +753,7 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     jax.jit,
     static_argnames=(
         "cascades", "scale", "exp_step_factor", "grid_size", "max_samples",
-        "pool_size", "chain_length", "skip_empty_span",
+        "pool_size", "chain_length", "skip_empty_span", "proportional_clip",
     ),
 )
 def march_rays_train(
@@ -750,6 +772,7 @@ def march_rays_train(
     chain_length: int = 0,
     skip_empty_span: bool = True,
     occ_rows: jnp.ndarray | None = None,
+    proportional_clip: bool = False,
 ) -> MarchResults:
     """March all rays through occupied space into a flat sample pool.
 
@@ -810,7 +833,7 @@ def march_rays_train(
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
         occ, kk_all, t0, N, K, max_samples, pool_size, exp_step_factor,
-        dt_min, dt_max)
+        dt_min, dt_max, proportional_clip=proportional_clip)
 
     return MarchResults(
         ts=pool_ts,
@@ -993,7 +1016,7 @@ def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "scale", "grid_size", "max_samples", "pool_size", "chain_length",
-        "n_intervals",
+        "n_intervals", "proportional_clip",
     ),
 )
 def march_rays_train_segments(
@@ -1011,6 +1034,7 @@ def march_rays_train_segments(
     n_intervals: int,
     occ_rows: jnp.ndarray | None = None,
     dil_rows: jnp.ndarray | None = None,
+    proportional_clip: bool = False,
 ) -> MarchResults:
     """Two-level segment march (single cascade, uniform stepping).
 
@@ -1091,7 +1115,7 @@ def march_rays_train_segments(
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
         occ, kk.reshape(N, M * J), t0, N, M * J, max_samples, pool_size, 0.0,
-        dt_min, dt_max)
+        dt_min, dt_max, proportional_clip=proportional_clip)
 
     return MarchResults(
         ts=pool_ts,

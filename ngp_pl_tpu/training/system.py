@@ -166,6 +166,19 @@ class NeRFSystem:
         self._pool_buckets = (8, 16, 24, 32, 40, 48, 56, 64)
         self._pool_mult = self.rcfg.train_pool_mult
         self._pool_demand = 0.0
+        # sample layout, auto-selected from the observed demand shape:
+        # - "strided": per-ray (N, S) rows, S covering the q99 occupied
+        #   count — every occupied sample of 99% of rays supervised, pure
+        #   lane-axis compositing.  Right when demand is tight.
+        # - "csr": flat pool of N * mult rows shared BY NEED (each ray up
+        #   to max_samples) — pays the mean like the reference's atomic
+        #   compaction (raymarching.cu:237-241).  Right when demand is
+        #   heavy-tailed: a strided budget covering the tail would charge
+        #   every ray the tail price, and truncating instead leaves tail
+        #   samples unsupervised (floaters on novel views — measured 15.7
+        #   vs 30.9 PSNR on the bench scene).
+        self.layout = "csr"
+        self._layout_vote = 0
         # static dt-chain bound sized to the scene's actual max ray range
         from ngp_pl_tpu.models.rendering import compute_scene_chain_length
 
@@ -247,7 +260,8 @@ class NeRFSystem:
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
                 self._pool_mult, self.chain_length,
-                occ_rows=self.grid_state.occ_rows, win_rows=win)
+                occ_rows=self.grid_state.occ_rows, win_rows=win,
+                layout=self.layout)
         else:
             if batch is None:
                 batch = self.sample_batch()
@@ -255,7 +269,8 @@ class NeRFSystem:
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, batch, self.key, self._pool_mult,
                 self.chain_length,
-                occ_rows=self.grid_state.occ_rows, win_rows=win)
+                occ_rows=self.grid_state.occ_rows, win_rows=win,
+                layout=self.layout)
         self._host_step = step_i + 1
         # re-bucket pool + chain from observed demand every update interval
         if (step_i + 1) % self.tcfg.grid_update_interval == 0:
@@ -283,25 +298,38 @@ class NeRFSystem:
 
         rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean = (
             float(v) for v in _np.asarray(prev))
-        # per-ray sample budget S: every ray pays S field evals, so S is
-        # sized from the MEAN per-ray EFFECTIVE sample count (post T<1e-4
-        # early-stop) — the same total work the CSR pool paid by design
-        # (rendering.py:197) — NOT a tail percentile.  Demand is heavy-
-        # tailed (bench scene: mean ~25, q90 > 64, q99 ~300), so any tail
-        # statistic pins every ray's budget at the worst case (the round-2
-        # regression: q99 sizing held S at 64 where mean demand was ~25).
-        # Rays beyond the budget are clipped per-ray front-to-back (the
-        # reference also truncates, raymarching.cu:237-241).  During grid
-        # warmup every chain step is occupied, the cap binds for every ray,
-        # and the signal is meaningless — hold S until the grid prunes.
+        # Budget + layout from the demand SHAPE (see self.layout).  Every
+        # OCCUPIED sample needs gradient flow — truncating a ray's tail
+        # leaves the volume behind it unsupervised (floaters on novel
+        # views), so the budget must cover rm (occupied counts), not the
+        # post-early-stop effective counts.  Tight demand (q99 within ~a
+        # bucket of the mean) -> strided rows sized to the q99; heavy tail
+        # -> CSR pool sized to the mean (each ray then draws by need).
+        # During grid warmup every chain step is occupied and the signal is
+        # meaningless — hold the initial CSR budget until the grid prunes.
         if self._host_step <= self.tcfg.grid_warmup_steps:
             return
-        S = self._pool_mult
-        want = vr_mean * 1.2 + 2.0
-        if vr_mean >= 0.85 * S and rm_q > S:  # cap binds on the mean: grow
-            want = max(want, S + 8.0)
-        want = min(want, rm_q * 1.1)
-        self._pool_demand = max(0.8 * self._pool_demand, want)
+        rm_mean = rm / self.tcfg.batch_size
+        want_mean = rm_mean * 1.25 + 2.0
+        want_tail = rm_q * 1.05
+        # strided wins only when covering the tail costs at most ~one
+        # bucket over the mean (its per-sample path is cheaper, but every
+        # ray pays S); otherwise pack by need
+        if want_tail <= self._pool_buckets[-1] \
+                and want_tail <= want_mean + 12.0:
+            target_layout, want = "strided", want_tail
+        else:
+            target_layout, want = "csr", want_mean
+        if target_layout != self.layout:
+            self._layout_vote += 1
+            if self._layout_vote >= 2:      # hysteresis: 2 intervals agree
+                self.layout = target_layout
+                self._layout_vote = 0
+                self._pool_demand = want
+        else:
+            self._layout_vote = 0
+        if target_layout == self.layout:
+            self._pool_demand = max(0.8 * self._pool_demand, want)
         for m in self._pool_buckets:
             if m >= self._pool_demand:
                 self._pool_mult = m
@@ -340,7 +368,8 @@ class NeRFSystem:
             self.state, self.grid_state.occ_grid, self.poses,
             self.directions, self.rays_device, self.key,
             self._pool_mult, self.chain_length,
-            occ_rows=self.grid_state.occ_rows, win_rows=win, n_steps=n)
+            occ_rows=self.grid_state.occ_rows, win_rows=win, n_steps=n,
+            layout=self.layout)
         self._host_step = step_i + n
         self._consume_demand(metrics)
         return metrics

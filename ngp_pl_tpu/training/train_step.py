@@ -20,7 +20,10 @@ import optax
 from ngp_pl_tpu.config import RenderConfig, TrainConfig
 from ngp_pl_tpu.datasets.ray_utils import axisangle_to_R, get_rays
 from ngp_pl_tpu.models.ngp import NGP, _mlp_apply
-from ngp_pl_tpu.models.rendering import render_rays_train
+from ngp_pl_tpu.models.rendering import (
+    render_rays_train,
+    render_rays_train_csr,
+)
 from ngp_pl_tpu.ops.ray_march import _q99, _qtile
 from ngp_pl_tpu.ops.trunc_exp import trunc_exp
 from ngp_pl_tpu.training.losses import nerf_loss, total_loss
@@ -101,7 +104,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
 
     def loss_fn(trainable, occ_grid, occ_rows, win_rows,
                 poses_all, directions, batch, key, n_samples,
-                chain_length):
+                chain_length, layout):
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
         else:
@@ -124,11 +127,20 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             bg = jnp.zeros((3,), jnp.float32)
 
         exposure = batch.get("exposure") if use_exposure else None
-        results = render_rays_train(
-            ngp, params, occ_grid, rays_o, rays_d, noise, bg,
-            rcfg=rcfg, exposure=exposure, n_samples=n_samples or None,
-            chain_length=chain_length,
-            occ_rows=occ_rows, win_rows=win_rows)
+        if layout == "csr":
+            # CSR pool: total budget N * n_samples shared by need — covers
+            # heavy-tailed per-ray demand at mean cost (rendering.py:197)
+            results = render_rays_train_csr(
+                ngp, params, occ_grid, rays_o, rays_d, noise, bg,
+                rcfg=rcfg, exposure=exposure,
+                pool_mult=n_samples or None, chain_length=chain_length,
+                occ_rows=occ_rows, win_rows=win_rows)
+        else:
+            results = render_rays_train(
+                ngp, params, occ_grid, rays_o, rays_d, noise, bg,
+                rcfg=rcfg, exposure=exposure, n_samples=n_samples or None,
+                chain_length=chain_length,
+                occ_rows=occ_rows, win_rows=win_rows)
 
         loss_d = nerf_loss(
             results, batch["rgb"],
@@ -164,14 +176,14 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
 
     def _step_core(state, occ_grid, occ_rows, win_rows,
                    poses_all, directions, batch, key, n_samples,
-                   chain_length):
+                   chain_length, layout):
         if use_pose:
             trainable = {"net": state.params, "pose": state.pose_params}
         else:
             trainable = state.params
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, occ_grid, occ_rows, win_rows, poses_all,
-            directions, batch, key, n_samples, chain_length)
+            directions, batch, key, n_samples, chain_length, layout)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
@@ -207,19 +219,19 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         )
 
     @partial(jax.jit,
-             static_argnames=("n_samples", "chain_length"))
+             static_argnames=("n_samples", "chain_length", "layout"))
     def train_step(state: TrainState, occ_grid, poses_all, directions, batch,
                    key, n_samples: int = 0, chain_length: int = 0,
-                   occ_rows=None, win_rows=None
+                   occ_rows=None, win_rows=None, layout: str = "strided"
                    ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(key, state.step)
         return _step_core(state, occ_grid, occ_rows, win_rows,
                           poses_all, directions, batch, key, n_samples,
-                          chain_length)
+                          chain_length, layout)
 
     def _device_step_core(state, occ_grid, poses_all, directions, rays_store,
                           key, n_samples, chain_length,
-                          occ_rows, win_rows):
+                          occ_rows, win_rows, layout):
         key = jax.random.fold_in(key, state.step)
         k_img, k_pix, key = jax.random.split(key, 3)
         B = tcfg.batch_size
@@ -244,14 +256,15 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             batch["exposure"] = payload[:, 3:4]
         return _step_core(state, occ_grid, occ_rows, win_rows,
                           poses_all, directions, batch, key, n_samples,
-                          chain_length)
+                          chain_length, layout)
 
     @partial(jax.jit,
-             static_argnames=("n_samples", "chain_length"))
+             static_argnames=("n_samples", "chain_length", "layout"))
     def train_step_device(state: TrainState, occ_grid, poses_all, directions,
                           rays_store, key, n_samples: int = 0,
                           chain_length: int = 0,
-                          occ_rows=None, win_rows=None
+                          occ_rows=None, win_rows=None,
+                          layout: str = "strided"
                           ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Fully on-device step: batch sampling happens INSIDE the program.
 
@@ -262,15 +275,16 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         workers every step, train.py:141-152)."""
         return _device_step_core(state, occ_grid, poses_all, directions,
                                  rays_store, key, n_samples, chain_length,
-                                 occ_rows, win_rows)
+                                 occ_rows, win_rows, layout)
 
     @partial(jax.jit,
-             static_argnames=("n_samples", "chain_length", "n_steps"))
+             static_argnames=("n_samples", "chain_length", "n_steps",
+                              "layout"))
     def train_step_block(state: TrainState, occ_grid, poses_all, directions,
                          rays_store, key, n_samples: int = 0,
                          chain_length: int = 0,
                          occ_rows=None, win_rows=None,
-                         n_steps: int = 16
+                         n_steps: int = 16, layout: str = "strided"
                          ) -> tuple[TrainState, Dict[str, jnp.ndarray]]:
         """`n_steps` device-resident steps as ONE lax.scan program.
 
@@ -285,7 +299,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         def one(st, _):
             st, m = _device_step_core(
                 st, occ_grid, poses_all, directions, rays_store, key,
-                n_samples, chain_length, occ_rows, win_rows)
+                n_samples, chain_length, occ_rows, win_rows, layout)
             return st, m
 
         state, ms = jax.lax.scan(one, state, None, length=n_steps)

@@ -1,9 +1,12 @@
 """Smoke-test the train.py CLI end-to-end on a tiny synthetic run."""
+import pytest
+
 import sys
 
 import numpy as np
 
 
+@pytest.mark.slow  # ~8 min: full CLI train+val run
 def test_train_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     sys.path.insert(0, "/root/repo")

@@ -1,5 +1,7 @@
 """Data-parallel sharding: the sharded train step must match single-device
 numerics (same batch, same key) and actually distribute the rays."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +80,7 @@ def test_graft_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # ~4 min: trains on the 8-device virtual mesh
 def test_system_auto_mesh_trains():
     """NeRFSystem builds a data mesh automatically on multi-device hosts and
     trains with sharded batches + replicated params (SURVEY §2.4)."""

@@ -1,4 +1,6 @@
 """Round-based (alive-ray) renderer must match the single-pass renderer."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +53,7 @@ def test_round_renderer_empty_scene():
     np.testing.assert_allclose(out["rgb"], 1.0, atol=1e-6)  # white bg
 
 
+@pytest.mark.slow  # ~1 min: whole-loop device renderer cross-validation
 def test_device_round_matches_single_pass():
     """The fully device-resident while_loop renderer must match the
     single-pass reference path."""
