@@ -52,12 +52,16 @@ def run(tag, n_levels, n_features, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1536)
+    ap.add_argument("--only", type=str, default="",
+                    help="run a single geometry: L16F2 or L8F4")
     args = ap.parse_args()
     from ngp_pl_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
-    run("L16F2", 16, 2, args.steps)
-    run("L8F4", 8, 4, args.steps)
+    if args.only != "L8F4":
+        run("L16F2", 16, 2, args.steps)
+    if args.only != "L16F2":
+        run("L8F4", 8, 4, args.steps)
 
 
 if __name__ == "__main__":

@@ -104,11 +104,15 @@ class NGP:
         self.dtype = jnp.bfloat16 if cfg.mlp_dtype == "bfloat16" else jnp.float32
         # fused Pallas field tail: reference geometry, no direction grads
         # (pose refinement needs dL/d_dir -> XLA tail); interpret-mode
-        # Pallas on CPU is far slower than the XLA tail, so TPU only
+        # Pallas on CPU is far slower than the XLA tail, so TPU only.
+        # NGP_DISABLE_FUSED_TAIL=1 forces the XLA tail (A/B debugging).
+        import os
+
         from ngp_pl_tpu.ops.field_pallas import field_tail_supported
 
         self.fused_tail = (field_tail_supported(cfg) and not need_x_grad
-                           and jax.default_backend() != "cpu")
+                           and jax.default_backend() != "cpu"
+                           and not os.environ.get("NGP_DISABLE_FUSED_TAIL"))
 
     def init(self, key) -> Params:
         return init_ngp_params(key, self.cfg)

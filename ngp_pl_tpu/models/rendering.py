@@ -228,7 +228,6 @@ def render_rays_train_csr(
             max_samples=rcfg.max_samples,
             pool_size=pool_size,
             chain_length=chain,
-            proportional_clip=True,
         )
     elif n_intervals > 0 and cfg.cascades == 1 and cfg.exp_step_factor == 0.0:
         m = march_rays_train_segments(
@@ -245,7 +244,6 @@ def render_rays_train_csr(
             n_intervals=n_intervals,
             occ_rows=occ_rows,
             dil_rows=dil_rows,
-            proportional_clip=True,
         )
     else:
         m = march_rays_train(
@@ -262,7 +260,6 @@ def render_rays_train_csr(
             pool_size=pool_size,
             chain_length=chain,
             occ_rows=occ_rows,
-            proportional_clip=True,
         )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)

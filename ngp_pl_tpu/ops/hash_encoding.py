@@ -233,17 +233,31 @@ def _hash_encode_cv(spec: HashGridSpec, need_x_grad: bool, x, table):
 
 
 def _gather_rows_bf16(table, flat_slots):
-    """Row gather through a bf16 compute copy of the table.
+    """Row gather through a reduced-precision compute copy of the table.
 
     The 512B-row gather is BANDWIDTH-bound on TPU (measured 4.98 ns/row f32
-    vs 2.84 ns/row bf16) — one cheap 30 MB cast halves the encoder's biggest
-    HBM term.  Gradients are unaffected: the cast sits inside the custom_vjp,
-    whose backward scatters fp32 into the fp32 master table.  Precision is a
-    wash: the consumer multiplies rows into bf16 `wr` for the MXU anyway.
-    On CPU (tests) bf16 is software-emulated and ~5x slower — gather fp32."""
-    if jax.default_backend() == "cpu":
+    vs 2.84 ns/row at 2 bytes) — one cheap 30 MB cast halves the encoder's
+    biggest HBM term.  Gradients are unaffected: the cast sits inside the
+    custom_vjp, whose backward scatters fp32 into the fp32 master table.
+
+    dtype matters: a bf16 copy (8-bit mantissa) COSTS ~8 dB of PSNR on the
+    procedural quality gate (measured round 3: 15.1 vs 23.5 at 1536 steps) —
+    the quantization noise floor sits above the fine-level feature scale.
+    float16 (10-bit mantissa) matches tinycudann's fp16 table storage
+    (reference networks.py:36-56) and the quality gate.  Rows are cast back
+    to f32 right at the gather output (fusing into the gather epilogue):
+    the expensive random-READ side runs at 2 bytes/entry while all
+    interpolation math stays f32 (Mosaic also has no f16 dialect type, so
+    Pallas consumers need the cast anyway).  Control via
+    NGP_TABLE_GATHER_DTYPE in {float16, bfloat16, float32}.
+    On CPU (tests) half precision is software-emulated and slower — always
+    gather fp32 there."""
+    import os
+
+    dtype = os.environ.get("NGP_TABLE_GATHER_DTYPE", "float16")
+    if jax.default_backend() == "cpu" or dtype == "float32":
         return table[flat_slots]
-    return table.astype(jnp.bfloat16)[flat_slots]
+    return table.astype(jnp.dtype(dtype))[flat_slots].astype(jnp.float32)
 
 
 def _encode_fwd_parts(spec, x, table):

@@ -500,7 +500,7 @@ def _occ_window_chain(rays_o, rays_d, t0, KA, win_rows, *, scale, grid_size,
 @partial(
     jax.jit,
     static_argnames=("scale", "grid_size", "max_samples", "pool_size",
-                     "chain_length", "proportional_clip"),
+                     "chain_length"),
 )
 def march_rays_train_window(
     rays_o: jnp.ndarray,
@@ -514,7 +514,6 @@ def march_rays_train_window(
     max_samples: int,
     pool_size: int,
     chain_length: int,
-    proportional_clip: bool = False,
 ) -> MarchResults:
     """Windowed occupancy march (single cascade, uniform stepping).
 
@@ -559,8 +558,7 @@ def march_rays_train_window(
     kk_all = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
-        occ, kk_all, t0, N, K, max_samples, pool_size, 0.0, dt_min, dt_max,
-        proportional_clip=proportional_clip)
+        occ, kk_all, t0, N, K, max_samples, pool_size, 0.0, dt_min, dt_max)
 
     return MarchResults(
         ts=pool_ts,
@@ -615,8 +613,7 @@ def _nth_set_bit(m: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
-                     exp_step_factor, dt_min, dt_max,
-                     proportional_clip=False):
+                     exp_step_factor, dt_min, dt_max):
     """Deterministic compaction of occupied samples into a flat (pool_size,)
     pool ordered by (ray, t).
 
@@ -625,11 +622,14 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     reconstructed in the pool as the closed-form chain position `t(t0, k)`,
     bit-identical to the candidate's (same expression, same operands).
 
-    proportional_clip: when total occupied demand exceeds the pool, clip
-    EVERY ray front-to-back to its proportional share instead of dropping
-    whole tail-of-batch rays (which would train those rays toward pure
-    background; during grid warmup an unclipped pool covers only the first
-    few % of the batch).
+    At pool saturation, whole tail-of-batch rays drop out of the pool.
+    This is deliberate: a ray with zero samples renders pure background with
+    ZERO parameter gradient — a no-op for training, shrinking the effective
+    batch.  The tempting alternative (clip every ray front-to-back to a
+    proportional share) supervises only a shallow entry slab of the volume
+    during grid warmup and measurably collapses novel-view quality
+    (round 3 A/B: 23.5 vs 28.3 PSNR at 1536 steps).  Batch order is random,
+    so the dropped set is an unbiased subsample.
 
     Scatter cost on TPU is per INPUT ROW (~9-14ns each, regardless of row
     width or drop masks), so the design minimizes scattered rows:
@@ -646,19 +646,7 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     # per-ray occupied-sample cap + bookkeeping.  When the chain itself is
     # shorter than the cap the cap can never bind — skip the full-width
     # (N, K) prefix sum entirely (it is one of the larger VPU passes here)
-    if proportional_clip:
-        occ_i = occ.astype(jnp.int32)
-        incl = jnp.cumsum(occ_i, axis=1)
-        slot = incl - occ_i                                    # excl. in-ray
-        rm_counts = jnp.minimum(incl[:, -1], max_samples)
-        total_raw = jnp.maximum(jnp.sum(rm_counts), 1)
-        scale = jnp.minimum(
-            1.0, pool_size / total_raw.astype(jnp.float32))
-        cap = jnp.floor(rm_counts.astype(jnp.float32) * scale
-                        ).astype(jnp.int32)                    # sum <= pool
-        occ = occ & (slot < cap[:, None])
-        counts = jnp.minimum(rm_counts, cap)
-    elif K <= max_samples:
+    if K <= max_samples:
         rm_counts = occ.sum(axis=1, dtype=jnp.int32)
         counts = rm_counts
     else:
@@ -753,7 +741,7 @@ def _compact_to_pool(occ, kk, t0, N, K, max_samples, pool_size,
     jax.jit,
     static_argnames=(
         "cascades", "scale", "exp_step_factor", "grid_size", "max_samples",
-        "pool_size", "chain_length", "skip_empty_span", "proportional_clip",
+        "pool_size", "chain_length", "skip_empty_span",
     ),
 )
 def march_rays_train(
@@ -772,7 +760,6 @@ def march_rays_train(
     chain_length: int = 0,
     skip_empty_span: bool = True,
     occ_rows: jnp.ndarray | None = None,
-    proportional_clip: bool = False,
 ) -> MarchResults:
     """March all rays through occupied space into a flat sample pool.
 
@@ -833,7 +820,7 @@ def march_rays_train(
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
         occ, kk_all, t0, N, K, max_samples, pool_size, exp_step_factor,
-        dt_min, dt_max, proportional_clip=proportional_clip)
+        dt_min, dt_max)
 
     return MarchResults(
         ts=pool_ts,
@@ -1016,7 +1003,7 @@ def _q99(per_ray_need: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "scale", "grid_size", "max_samples", "pool_size", "chain_length",
-        "n_intervals", "proportional_clip",
+        "n_intervals",
     ),
 )
 def march_rays_train_segments(
@@ -1034,7 +1021,6 @@ def march_rays_train_segments(
     n_intervals: int,
     occ_rows: jnp.ndarray | None = None,
     dil_rows: jnp.ndarray | None = None,
-    proportional_clip: bool = False,
 ) -> MarchResults:
     """Two-level segment march (single cascade, uniform stepping).
 
@@ -1115,7 +1101,7 @@ def march_rays_train_segments(
     (pool_ts, pool_dts, pool_ray, pool_valid, in_pool_counts, offsets, total,
      rm_counts) = _compact_to_pool(
         occ, kk.reshape(N, M * J), t0, N, M * J, max_samples, pool_size, 0.0,
-        dt_min, dt_max, proportional_clip=proportional_clip)
+        dt_min, dt_max)
 
     return MarchResults(
         ts=pool_ts,
