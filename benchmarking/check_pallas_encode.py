@@ -36,7 +36,12 @@ def timeit(name, fn, *args, n=20):
 
 
 def main():
-    spec = make_grid_spec()
+    import os
+
+    L = int(os.environ.get("CHECK_L", 16))
+    F = int(os.environ.get("CHECK_F", 2))
+    spec = make_grid_spec(n_levels=L, n_features=F)
+    print(f"geometry L={L} F={F} W={spec.row_width}", flush=True)
     key = jax.random.PRNGKey(0)
     table = init_hash_table(key, spec) * 1e4   # O(1) values
     w1 = jax.random.normal(jax.random.PRNGKey(1), (spec.out_dim, 64)) * 0.2

@@ -145,8 +145,30 @@ class NGP:
         output_radiance: bool = False,
     ):
         """(sigma (N,), rgb (N, 3)) from positions + view dirs
-        (reference networks.py:132-153)."""
+        (reference networks.py:132-153).
+
+        With the reference geometry on TPU the post-encode stack (sigma
+        layer 2 + TruncExp + rgb MLP + sigmoid) runs as the fused Pallas
+        field tail — also on this flat per-sample path (the CSR train pool
+        and the test renderers), where SH is computed per sample."""
         cfg = self.cfg
+        if (self.fused_tail and exposure is None
+                and cfg.rgb_act == "Sigmoid"):
+            from ngp_pl_tpu.ops.field_pallas import _pick_bn, field_tail
+
+            bn = _pick_bn(x.shape[0])
+            if bn:
+                xn = (x + cfg.scale) / (2.0 * cfg.scale)
+                h1 = hash_encode_mlp(xn, params["hash_table"],
+                                     params["sigma_mlp"][0], self.spec,
+                                     need_x_grad=self.need_x_grad)
+                dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                sh_t = sh_encode((dn + 1.0) * 0.5, cfg.sh_degree).T
+                wr3p = jnp.pad(params["rgb_mlp"][2], ((0, 0), (0, 5)))
+                out_t = field_tail(bn, h1, sh_t, params["sigma_mlp"][1],
+                                   params["rgb_mlp"][0],
+                                   params["rgb_mlp"][1], wr3p)
+                return out_t[0], out_t[1:4].T
         sigma, h = self.density(params, x, return_feat=True)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         sh = sh_encode((d + 1.0) * 0.5, cfg.sh_degree)

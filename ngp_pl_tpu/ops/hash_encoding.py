@@ -243,21 +243,16 @@ def _gather_rows_bf16(table, flat_slots):
     dtype matters: a bf16 copy (8-bit mantissa) COSTS ~8 dB of PSNR on the
     procedural quality gate (measured round 3: 15.1 vs 23.5 at 1536 steps) —
     the quantization noise floor sits above the fine-level feature scale.
-    float16 (10-bit mantissa) matches tinycudann's fp16 table storage
-    (reference networks.py:36-56) and the quality gate.  Rows are cast back
-    to f32 right at the gather output (fusing into the gather epilogue):
-    the expensive random-READ side runs at 2 bytes/entry while all
-    interpolation math stays f32 (Mosaic also has no f16 dialect type, so
-    Pallas consumers need the cast anyway).  Control via
-    NGP_TABLE_GATHER_DTYPE in {float16, bfloat16, float32}.
-    On CPU (tests) half precision is software-emulated and slower — always
-    gather fp32 there."""
-    import os
-
-    dtype = os.environ.get("NGP_TABLE_GATHER_DTYPE", "float16")
-    if jax.default_backend() == "cpu" or dtype == "float32":
-        return table[flat_slots]
-    return table.astype(jnp.dtype(dtype))[flat_slots].astype(jnp.float32)
+    A float16 copy (10-bit mantissa, tinycudann's table precision,
+    reference networks.py:36-56) holds quality, BUT a plain
+    `astype(f16)[slots].astype(f32)` makes XLA materialize BOTH the f16
+    gather output and its f32 conversion when the consumer is a Pallas
+    custom call (+3.2 GB of HBM traffic at bench shapes — measured slower
+    than the f32 gather).  The fused encode path therefore uses
+    `gather_rows_f16_packed` (swizzled u32 rows decoded inside the kernel);
+    this helper keeps the straightforward f32 master gather for the
+    remaining (cold) paths."""
+    return table[flat_slots]
 
 
 def _encode_fwd_parts(spec, x, table):
@@ -525,7 +520,10 @@ def _encode_mlp_pl_cv(spec: HashGridSpec, bn: int, x, table, w1):
 
 
 def _encode_mlp_pl_fwd(spec, bn, x, table, w1):
-    from ngp_pl_tpu.ops.hash_encoding_pallas import encode_mlp_fwd_pallas
+    from ngp_pl_tpu.ops.hash_encoding_pallas import (
+        encode_mlp_fwd_pallas,
+        pack_table_f16,
+    )
 
     N = x.shape[0]
     L, W = spec.n_levels, spec.row_width
@@ -533,7 +531,12 @@ def _encode_mlp_pl_fwd(spec, bn, x, table, w1):
     xc = jnp.clip(x, 0.0, 1.0)
     slot, local, frac = _slots_local_frac_lm(xc, spec)
     meta_T = _meta_T(local, frac, dup)
-    rows = _gather_rows_bf16(table, slot.reshape(-1)).reshape(L, N, W)
+    if W == 128:
+        # swizzled-f16 rows: halves the dominant random-read bandwidth at
+        # tinycudann's table precision; decoded inside the kernel
+        rows = pack_table_f16(table)[slot.reshape(-1)].reshape(L, N, W // 2)
+    else:
+        rows = _gather_rows_bf16(table, slot.reshape(-1)).reshape(L, N, W)
     h1, ft2 = encode_mlp_fwd_pallas(rows, meta_T, expand_w1(w1, spec),
                                     F=spec.n_features, bn=bn)
     return h1, (slot, meta_T, ft2, w1)
@@ -564,12 +567,14 @@ def _encode_mlp_pl_bwd(spec, bn, res, g):
     d_rows = encode_mlp_bwd_pallas(meta_T, expand_w1(w1, spec), g,
                                    F=spec.n_features, bn=bn)
 
-    # per-level scatter-adds (each target slice stays small — fast path)
+    # per-level scatter-adds (each target slice stays small — fast path);
+    # d_rows arrive bf16 and accumulate into the f32 table gradient
     parts = []
     for l in range(L):
         parts.append(
             jnp.zeros((spec.sizes[l], W), jnp.float32)
-            .at[slot[l] - spec.offsets[l]].add(d_rows[l]))
+            .at[slot[l] - spec.offsets[l]].add(
+                d_rows[l].astype(jnp.float32)))
     d_table = jnp.concatenate(parts, axis=0)
     d_x = jnp.zeros((N, 3), jnp.float32)
     return d_x, d_table, d_w1

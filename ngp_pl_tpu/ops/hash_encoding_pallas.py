@@ -60,6 +60,45 @@ N_PTS = 27           # 3x3x3 corner points per brick
 META_W = 4           # (px, py, pz, pad) per sample; paired rows use 8 lanes
 
 
+# -- packed-f16 table rows ---------------------------------------------------
+# The row gather is the encoder's dominant HBM term and is BANDWIDTH-bound.
+# A plain f16 compute copy halves it, but Mosaic has no f16 type and an
+# XLA-side f16->f32 cast materializes the full f32 tensor at the custom-call
+# boundary (measured slower than gathering f32).  Instead the table copy is
+# SWIZZLED into u32 lanes — u32 lane j = f16(row[j]) | f16(row[j + W/2])<<16
+# — gathered as (.., W/2) u32 rows, and decoded to two f32 half-rows with
+# integer lane math INSIDE the kernel (no cross-lane shuffles: halves keep
+# their lane order).  f16's 10-bit mantissa is tinycudann's table precision
+# (reference networks.py:36-56); bf16's 8 bits measurably break quality.
+
+
+def pack_table_f16(table: jnp.ndarray) -> jnp.ndarray:
+    """(R, W) f32 table -> (R, W/2) uint32 of swizzled f16 bit pairs."""
+    W = table.shape[-1]
+    bits = jax.lax.bitcast_convert_type(
+        table.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return bits[:, : W // 2] | (bits[:, W // 2:] << jnp.uint32(16))
+
+
+def f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
+    """u32 holding f16 bits in the low 16 -> f32 value (branchless;
+    handles subnormals, which matter here: the table init is U(-1e-4, 1e-4)
+    and f16's smallest normal is 6.1e-5)."""
+    h = h & jnp.uint32(0xFFFF)
+    s = h >> jnp.uint32(15)
+    e = (h >> jnp.uint32(10)) & jnp.uint32(0x1F)
+    m = h & jnp.uint32(0x3FF)
+    normal = jax.lax.bitcast_convert_type(
+        (s << jnp.uint32(31)) | ((e + jnp.uint32(112)) << jnp.uint32(23))
+        | (m << jnp.uint32(13)), jnp.float32)
+    # Mosaic has no u32 -> f32 cast; both values fit int32 exactly
+    sign = 1.0 - 2.0 * s.astype(jnp.int32).astype(jnp.float32)
+    sub = (m.astype(jnp.int32).astype(jnp.float32)
+           * jnp.float32(2.0 ** -24) * sign)
+    # e == 31 (inf/nan) cannot occur: table values stay far below 65504
+    return jnp.where(e == 0, sub, normal)
+
+
 def lane_table(F: int, W: int, dup: int = 1) -> np.ndarray:
     """(8, W) f32 per-lane constants [cx, cy, cz, valid, hi, 0, 0, 0] of the
     brick-row corner layout; dup=2 tiles two samples per row (paired F=2
@@ -143,6 +182,41 @@ def _fwd_kernel(rows_ref, meta_ref, w1_ref, tab_ref, sel_ref, h1_ref, ft_ref,
     h1_ref[...] += acc
 
 
+def _fwd_kernel_packed(rows_ref, meta_ref, w1_ref, tab_lo_ref, tab_hi_ref,
+                       sel_lo_ref, sel_hi_ref, h1_ref, ft_ref):
+    """Packed-f16 rows variant (W == 128, unpaired): rows arrive as
+    (rb, W/2) u32 swizzled bit pairs; each half-row decodes in place and
+    contracts against its half of w1/sel — no cross-lane shuffles."""
+    l = pl.program_id(1)
+    Wh = rows_ref.shape[-1]
+    wrow_lo = _wrow(meta_ref[0], tab_lo_ref, False)       # (rb, W/2)
+    wrow_hi = _wrow(meta_ref[0], tab_hi_ref, False)
+    u = rows_ref[0]
+    wr_lo = (f16_bits_to_f32(u) * wrow_lo).astype(jnp.bfloat16)
+    wr_hi = (f16_bits_to_f32(u >> jnp.uint32(16))
+             * wrow_hi).astype(jnp.bfloat16)
+    ft_ref[0] = (
+        jax.lax.dot_general(
+            sel_lo_ref[...].astype(jnp.bfloat16), wr_lo,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            sel_hi_ref[...].astype(jnp.bfloat16), wr_hi,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    w1 = w1_ref[0]
+    acc = (jnp.dot(wr_lo, w1[:Wh].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(wr_hi, w1[Wh:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32))
+
+    @pl.when(l == 0)
+    def _():
+        h1_ref[...] = jnp.zeros_like(h1_ref)
+
+    h1_ref[...] += acc
+
+
 def _bwd_kernel(meta_ref, w1_ref, g_ref, tab_ref, drows_ref, *, paired: bool):
     wrow = _wrow(meta_ref[0], tab_ref, paired)
     # d_wr = g @ w1big[l]^T (paired: g-pairs @ block-diag^T), contract H
@@ -150,7 +224,10 @@ def _bwd_kernel(meta_ref, w1_ref, g_ref, tab_ref, drows_ref, *, paired: bool):
         g_ref[...].astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    drows_ref[0] = d_wr * wrow
+    # bf16 output: halves the (L, N, W) d_rows HBM traffic feeding the
+    # per-level table scatters; per-sample gradient contributions tolerate
+    # bf16 rounding (the scatter accumulates into an f32 target)
+    drows_ref[0] = (d_wr * wrow).astype(jnp.bfloat16)
 
 
 def make_w1_dbl(w1big: jnp.ndarray) -> jnp.ndarray:
@@ -165,13 +242,48 @@ def make_w1_dbl(w1big: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("F", "bn", "interpret"))
 def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
                           interpret: bool = False):
-    """rows (L, N, W) f32, meta_T (L, dup*4, N/dup) f32, w1big (L, W, H) f32
+    """rows (L, N, W) f32 — or (L, N, W/2) uint32 packed-f16 pairs from
+    `pack_table_f16` (W == 128 only) — meta_T (L, dup*4, N/dup) f32,
+    w1big (L, W, H) f32
     -> h1 (N, H) f32, ft2 (L, dup*F, N/dup) f32 packed per-level features
     (the residual for dL/dw1; unpack with `unpack_feats`).  N % bn == 0.
     """
-    L, N, W = rows.shape
+    packed = rows.dtype == jnp.uint32
+    L, N = rows.shape[0], rows.shape[1]
+    W = w1big.shape[1]
     H = w1big.shape[-1]
     assert N % bn == 0 and bn % 2 == 0, (N, W, bn)
+    grid = (N // bn, L)
+    if packed:
+        assert W == 2 * rows.shape[-1] and W != LANE_W, (W, rows.shape)
+        Wh, rb = W // 2, bn
+        tab = lane_table(F, W)
+        sel = feat_selector(F, W)
+        h1p, ft2 = pl.pallas_call(
+            _fwd_kernel_packed,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rb, Wh), lambda n, l: (l, n, 0)),
+                pl.BlockSpec((1, META_W, rb), lambda n, l: (l, 0, n)),
+                pl.BlockSpec((1, W, H), lambda n, l: (l, 0, 0)),
+                pl.BlockSpec((8, Wh), lambda n, l: (0, 0)),
+                pl.BlockSpec((8, Wh), lambda n, l: (0, 0)),
+                pl.BlockSpec((Wh, F), lambda n, l: (0, 0)),
+                pl.BlockSpec((Wh, F), lambda n, l: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((rb, H), lambda n, l: (n, 0)),
+                pl.BlockSpec((1, F, rb), lambda n, l: (l, 0, n)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, H), jnp.float32),
+                jax.ShapeDtypeStruct((L, F, N), jnp.float32),
+            ],
+            interpret=interpret,
+        )(rows, meta_T, w1big,
+          jnp.asarray(tab[:, :Wh]), jnp.asarray(tab[:, Wh:]),
+          jnp.asarray(sel[:Wh]), jnp.asarray(sel[Wh:]))
+        return h1p.reshape(N, H), ft2
     paired = W == LANE_W
     dup = 2 if paired else 1
     rb, Wk, Hk, Fk = bn // dup, dup * W, dup * H, dup * F
@@ -179,7 +291,6 @@ def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
     w1_k = make_w1_dbl(w1big) if paired else w1big
     tab = jnp.asarray(lane_table(F, Wk, dup))
     sel = jnp.asarray(feat_selector(F, Wk, dup))
-    grid = (N // bn, L)
     h1p, ft2 = pl.pallas_call(
         functools.partial(_fwd_kernel, paired=paired),
         grid=grid,
@@ -207,7 +318,8 @@ def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
 def encode_mlp_bwd_pallas(meta_T, w1big, g, *, F: int, bn: int = 4096,
                           interpret: bool = False):
     """meta_T (L, dup*4, N/dup), w1big (L, W, H), g (N, H)
-    -> d_rows (L, N, W) f32.
+    -> d_rows (L, N, W) bf16 (accumulated into the f32 table by the
+    caller's per-level scatters).
 
     The g block is indexed by n only, so the L consecutive inner grid steps
     reuse one fetched block."""
@@ -232,7 +344,7 @@ def encode_mlp_bwd_pallas(meta_T, w1big, g, *, F: int, bn: int = 4096,
             pl.BlockSpec((8, Wk), lambda n, l: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, rb, Wk), lambda n, l: (l, n, 0)),
-        out_shape=jax.ShapeDtypeStruct((L, N // dup, Wk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L, N // dup, Wk), jnp.bfloat16),
         interpret=interpret,
     )(meta_T, w1_k, g_k, tab)
     return drows.reshape(L, N, W)
