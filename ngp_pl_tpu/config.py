@@ -149,6 +149,9 @@ class TrainConfig:
     ckpt_path: Optional[str] = None
     weight_path: Optional[str] = None
     seed: int = 1337
+    # train-time sample layout: "auto" (CSR during grid warmup, then the
+    # multi-round strided render), or pin "rounds" / "csr" / "strided"
+    train_layout: str = "auto"
     # TPU specifics (reference opt.py:42-43 --num_gpus)
     mesh_data_axis: str = "data"
     num_devices: int = 0       # 0 = use ALL visible devices (data mesh); N>0
@@ -216,6 +219,10 @@ def add_train_args(parser) -> None:
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--weight_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--train_layout", type=str, default=d.train_layout,
+                        choices=["auto", "rounds", "csr", "strided"],
+                        help="train-time sample layout (auto: CSR warmup "
+                             "then multi-round strided)")
     parser.add_argument("--num_devices", type=int, default=d.num_devices,
                         help="devices for the data mesh; 0 = all visible "
                              "(reference opt.py --num_gpus)")

@@ -26,6 +26,7 @@ from ngp_pl_tpu.config import (
 from ngp_pl_tpu.models.ngp import NGP
 from ngp_pl_tpu.ops.intersection import ray_aabb_intersect_single
 from ngp_pl_tpu.ops.ray_march import (
+    calc_dt,
     march_rays_test_round,
     march_rays_train,
     march_rays_train_segments,
@@ -284,6 +285,179 @@ def render_rays_train_csr(
     out["chain_demand_q"] = m.chain_demand_q
     out["vr_counts"] = out["vr_samples"]          # (N,) effective samples
     out["vr_samples"] = out["vr_samples"].sum()
+    return out
+
+
+def render_rays_train_rounds(
+    ngp: NGP,
+    params,
+    occ_grid: jnp.ndarray,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    noise: jnp.ndarray,
+    bg_rgb: jnp.ndarray,
+    *,
+    rcfg: RenderConfig,
+    exposure: Optional[jnp.ndarray] = None,
+    n_samples: int = 16,            # S: samples per ray per round
+    chain_length: int = 256,        # chain steps examined per round
+    n_rounds: int = 4,              # unrolled rounds (static)
+    lambda_distortion: float = 0.0,
+    occ_rows: Optional[jnp.ndarray] = None,
+    win_rows: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Multi-round differentiable train render — the TPU answer to heavy-
+    tailed per-ray sample demand.
+
+    One-shot layouts must budget for a per-ray worst case: strided (N, S)
+    charges every ray the tail price, the CSR pool pays the mean but
+    evaluates ALL occupied samples (rm) even though samples behind the
+    T<1e-4 horizon carry zero gradient.  This path instead marches in
+    `n_rounds` unrolled rounds of S occupied samples each with a carried
+    per-ray transmittance (the structure of the reference's inference loop,
+    rendering.py:75-105, made differentiable): rays that converge (T below
+    threshold), exit the scene, or exhaust the chain drop out, and the
+    remaining alive rays are compacted to the front of a half-sized slot
+    array between rounds (prefix-sum compaction, shapes static).  Cost is
+    therefore ~ the EFFECTIVE sample count (vr) — 2-3x below rm on
+    converged scenes — while deep tail rays still receive up to
+    n_rounds * S front-to-back samples.  Alive rays beyond a round's slot
+    capacity are dropped like the CSR pool drops at saturation (an unbiased
+    no-op subsample: zero-sample rays have zero parameter gradient).
+
+    Gradients flow to params (and rays via recomputed positions) through
+    every round; the mip-NeRF-360 distortion loss accumulates per round
+    from carried prefix sums (losses.cu:7 DVGO form needs only the
+    running ws/ws*t prefixes and the global accumulated opacity).
+    """
+    cfg = ngp.cfg
+    N = rays_o.shape[0]
+    S = n_samples
+    hits_t = scene_hits(rays_o, rays_d, cfg.scale)
+    t_end = hits_t[:, 1]
+    use_window = (win_rows is not None and cfg.cascades == 1
+                  and cfg.exp_step_factor == 0.0)
+
+    # per-ray carried state (start jitter: reference raymarching.cu:195-198)
+    t1 = hits_t[:, 0]
+    t_cur = jnp.where(
+        t1 >= 0,
+        t1 + noise * calc_dt(t1, cfg.exp_step_factor, rcfg.max_samples,
+                             cfg.grid_size, cfg.scale),
+        t_end)
+    T = jnp.ones((N,), jnp.float32)
+    rgb = jnp.zeros((N, 3), jnp.float32)
+    depth = jnp.zeros((N,), jnp.float32)
+    opacity = jnp.zeros((N,), jnp.float32)
+    dist = jnp.zeros((N,), jnp.float32)
+    ws_in = jnp.zeros((N,), jnp.float32)     # running sum of w
+    wts_in = jnp.zeros((N,), jnp.float32)    # running sum of w * t
+    alive = hits_t[:, 0] >= 0
+    vr_counts = jnp.zeros((N,), jnp.int32)
+    rm_counts = jnp.zeros((N,), jnp.int32)
+    # rays that outlive a round's slot capacity are DROPPED FROM THE LOSS
+    # entirely (loss_mask): partially-supervised rays bias training toward
+    # their covered prefix (measured -4.4 dB), while zero-contribution rays
+    # are exact no-ops — the same all-or-nothing rule as CSR pool drops
+    dropped = jnp.zeros((N,), bool)
+    total_slots = 0
+
+    for r in range(n_rounds):
+        slots = max(256, N >> r)
+        total_slots += slots
+        # compact alive ray ids to the front (sentinel N beyond)
+        alive_i = alive.astype(jnp.int32)
+        pos = jnp.cumsum(alive_i) - alive_i
+        idx_full = jnp.full((N,), N, jnp.int32).at[
+            jnp.where(alive, pos, N)].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")
+        raw = idx_full[:slots]
+        idx = jnp.minimum(raw, N - 1)
+        sel = (raw < N)
+        dropped = dropped | (alive & (pos >= slots))
+
+        ro, rd = rays_o[idx], rays_d[idx]
+        ts, dts, valid, t_next, n_eff = march_rays_test_round(
+            jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
+            jax.lax.stop_gradient(t_cur[idx]),
+            jax.lax.stop_gradient(t_end[idx]),
+            occ_grid, cascades=cfg.cascades, scale=cfg.scale,
+            exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=rcfg.max_samples, n_samples=S,
+            chain_length=chain_length, occ_rows=occ_rows,
+            win_rows=win_rows if use_window else None)
+        valid = valid & sel[:, None]
+        (ts, dts, valid) = jax.lax.optimization_barrier((ts, dts, valid))
+
+        xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+        sigmas, rgbs_t = ngp.forward_rays(
+            params, xyz, rd,
+            exposure=exposure[idx] if exposure is not None else None)
+
+        # differentiable incremental compositing (lane-axis over S)
+        sd = jnp.where(valid, sigmas * dts, 0.0)
+        excl = jnp.cumsum(sd, axis=1) - sd
+        T0 = T[idx]
+        T_s = T0[:, None] * jnp.exp(-excl)
+        alpha = 1.0 - jnp.exp(-sd)
+        keep = T_s > rcfg.t_threshold
+        w = jnp.where(valid & keep, alpha * T_s, 0.0)
+
+        if lambda_distortion > 0:
+            # DVGO prefix-sum distortion with cross-round carries
+            wt = w * ts
+            ws_ex_r = jnp.cumsum(w, axis=1) - w + ws_in[idx][:, None]
+            wts_ex_r = jnp.cumsum(wt, axis=1) - wt + wts_in[idx][:, None]
+            per_s = (2.0 * ((wts_ex_r + wt) * ws_ex_r
+                            - (ws_ex_r + w) * wts_ex_r)
+                     + (w * w * dts) / 3.0)
+            dist = dist.at[idx].add(
+                jnp.where(sel, per_s.sum(axis=1), 0.0))
+            ws_in = ws_in.at[idx].add(jnp.where(sel, w.sum(axis=1), 0.0))
+            wts_in = wts_in.at[idx].add(jnp.where(sel, wt.sum(axis=1), 0.0))
+
+        d_rgb = jnp.einsum("ns,cns->nc", w, rgbs_t)
+        d_dep = (w * ts).sum(axis=1)
+        d_opa = w.sum(axis=1)
+        T_new = T0 * jnp.exp(-sd.sum(axis=1))
+
+        def upd(full, delta):
+            pad = jnp.where(sel if delta.ndim == 1 else sel[:, None],
+                            delta, 0.0)
+            return full.at[idx].add(pad)
+
+        rgb = upd(rgb, d_rgb)
+        depth = upd(depth, d_dep)
+        opacity = upd(opacity, d_opa)
+        T = T.at[idx].set(jnp.where(sel, T_new, T0))
+        t_cur = t_cur.at[idx].set(
+            jnp.where(sel, t_next, t_cur[idx]))
+        vr_counts = vr_counts.at[idx].add(
+            jnp.where(sel, (valid & keep).sum(axis=1), 0))
+        rm_counts = rm_counts.at[idx].add(jnp.where(sel, n_eff, 0))
+        still = (sel & (T_new > rcfg.t_threshold)
+                 & (t_next < t_end[idx]))
+        alive = jnp.zeros((N,), bool).at[idx].set(still, mode="drop")
+
+    # rays still alive after the last round are also truncated mid-depth
+    loss_mask = ~(dropped | alive)
+    out = {
+        "rgb": rgb + bg_rgb[None, :] * (1.0 - opacity[:, None]),
+        "depth": depth,
+        "opacity": opacity,
+        "distortion": dist,
+        "loss_mask": loss_mask,
+        "rm_samples": rm_counts.sum(),
+        "rm_counts": rm_counts,
+        "vr_counts": vr_counts,
+        "vr_samples": vr_counts.sum(),
+        # residual alive rays wanted more rounds/budget; report like the
+        # one-shot marchers so the budget feedback keeps working
+        "chain_demand": jnp.asarray(chain_length * n_rounds, jnp.int32),
+        "chain_demand_q": jnp.asarray(chain_length, jnp.int32),
+        "rounds_alive_end": alive.sum(),
+        "total_slots": jnp.asarray(total_slots, jnp.int32),
+    }
     return out
 
 

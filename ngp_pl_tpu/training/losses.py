@@ -23,8 +23,19 @@ def nerf_loss(
     o = results["opacity"] + 1e-10
     # push opacity towards 0 or 1 to kill floaters (losses.py:51-53)
     d["opacity"] = lambda_opacity * (-o * jnp.log(o))
+    if "loss_mask" in results:
+        # rounds layout: rays truncated by slot caps / round budget carry a
+        # biased partial render — exclude them (zero grad, like pool drops)
+        m = results["loss_mask"].astype(jnp.float32)
+        d["rgb"] = d["rgb"] * m[:, None]
+        d["opacity"] = d["opacity"] * m
     if lambda_distortion > 0:
-        if "valid" in results:       # strided (N, S) layout
+        if "distortion" in results:  # rounds path: accumulated per round
+            d["distortion"] = lambda_distortion * results["distortion"]
+            if "loss_mask" in results:
+                d["distortion"] = d["distortion"] * results[
+                    "loss_mask"].astype(jnp.float32)
+        elif "valid" in results:     # strided (N, S) layout
             d["distortion"] = lambda_distortion * distortion_loss_strided(
                 results["ws"], results["deltas"], results["ts"],
                 results["valid"],

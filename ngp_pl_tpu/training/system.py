@@ -177,8 +177,15 @@ class NeRFSystem:
         #   every ray the tail price, and truncating instead leaves tail
         #   samples unsupervised (floaters on novel views — measured 15.7
         #   vs 30.9 PSNR on the bench scene).
-        self.layout = "csr"
+        # "auto": CSR through grid warmup (uncapped demand stats, packing
+        # by need while everything is occupied), then the multi-round
+        # strided render (render_rays_train_rounds) — pays ~the effective
+        # sample count and serves heavy tails via extra rounds.  tcfg can
+        # pin "csr"/"strided"/"rounds" explicitly.
+        self.layout = (tcfg.train_layout if tcfg.train_layout != "auto"
+                       else "csr")
         self._layout_vote = 0
+        self._rounds_buckets = (8, 16, 24, 32)
         # static dt-chain bound sized to the scene's actual max ray range
         from ngp_pl_tpu.models.rendering import compute_scene_chain_length
 
@@ -195,6 +202,9 @@ class NeRFSystem:
             for f in (0.25, 0.5, 0.75, 1.0)})
         self.chain_length = self._chain_buckets[-1]
         self._chain_demand = float(self.chain_length)
+        # per-round chain budget for the rounds layout: the cursor resumes
+        # across rounds, so each round only needs local skip + S occupied
+        self._rounds_chain = min(384, max(128, -(-self.chain_full // 8) * 8))
         # windowed march (ops/ray_march.py:_occ_window_chain): one 64B
         # occupancy-window gather per 8 chain steps, exact bits — usable
         # wherever the direction bound holds
@@ -255,11 +265,13 @@ class NeRFSystem:
                 phase=(step_i // self.tcfg.grid_update_interval) % 4,
             )
         win = self.grid_state.win_rows if self.window_march else None
+        chain = (self._rounds_chain if self.layout == "rounds"
+                 else self.chain_length)
         if batch is None and self.rays_device is not None:
             self.state, metrics = self.train_step.device_variant(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, self.rays_device, self.key,
-                self._pool_mult, self.chain_length,
+                self._pool_mult, chain,
                 occ_rows=self.grid_state.occ_rows, win_rows=win,
                 layout=self.layout)
         else:
@@ -268,7 +280,7 @@ class NeRFSystem:
             self.state, metrics = self.train_step(
                 self.state, self.grid_state.occ_grid, self.poses,
                 self.directions, batch, self.key, self._pool_mult,
-                self.chain_length,
+                chain,
                 occ_rows=self.grid_state.occ_rows, win_rows=win,
                 layout=self.layout)
         self._host_step = step_i + 1
@@ -296,7 +308,7 @@ class NeRFSystem:
             return
         import numpy as _np
 
-        rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean = (
+        rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean, alive_end = (
             float(v) for v in _np.asarray(prev))
         # Budget + layout from the demand SHAPE (see self.layout).  Every
         # OCCUPIED sample needs gradient flow — truncating a ray's tail
@@ -309,13 +321,40 @@ class NeRFSystem:
         # meaningless — hold the initial CSR budget until the grid prunes.
         if self._host_step <= self.tcfg.grid_warmup_steps:
             return
+        mode = self.tcfg.train_layout
+        if mode in ("auto", "rounds"):
+            # multi-round render: S is the per-round budget; effective
+            # coverage adapts through the rounds, so S follows the MEAN
+            # effective demand with headroom, growing when many rays are
+            # still alive after the last round (alive_end)
+            if self.layout != "rounds":
+                self.layout = "rounds"
+                self._pool_demand = 0.0
+            # truncated rays are no-ops (loss_mask), so S follows the mean
+            # effective demand; grow only while truncation eats a sizable
+            # fraction of the batch (more coverage -> fewer masked rays)
+            S = self._pool_mult
+            want = vr_mean * 0.9 + 4.0
+            if alive_end > 0.10 * self.tcfg.batch_size:
+                want = max(want, S + 8.0)
+            self._pool_demand = max(0.8 * self._pool_demand, want)
+            for m in self._rounds_buckets:
+                if m >= self._pool_demand:
+                    self._pool_mult = m
+                    break
+            else:
+                self._pool_mult = self._rounds_buckets[-1]
+            return                       # chain stays at _rounds_chain
         rm_mean = rm / self.tcfg.batch_size
         want_mean = rm_mean * 1.25 + 2.0
         want_tail = rm_q * 1.05
         # strided wins only when covering the tail costs at most ~one
         # bucket over the mean (its per-sample path is cheaper, but every
         # ray pays S); otherwise pack by need
-        if want_tail <= self._pool_buckets[-1] \
+        if mode in ("csr", "strided"):
+            target_layout = mode
+            want = want_tail if mode == "strided" else want_mean
+        elif want_tail <= self._pool_buckets[-1] \
                 and want_tail <= want_mean + 12.0:
             target_layout, want = "strided", want_tail
         else:
@@ -364,10 +403,12 @@ class NeRFSystem:
             phase=(step_i // n) % 4,
         )
         win = self.grid_state.win_rows if self.window_march else None
+        chain = (self._rounds_chain if self.layout == "rounds"
+                 else self.chain_length)
         self.state, metrics = self.train_step.block_variant(
             self.state, self.grid_state.occ_grid, self.poses,
             self.directions, self.rays_device, self.key,
-            self._pool_mult, self.chain_length,
+            self._pool_mult, chain,
             occ_rows=self.grid_state.occ_rows, win_rows=win, n_steps=n,
             layout=self.layout)
         self._host_step = step_i + n

@@ -23,6 +23,7 @@ from ngp_pl_tpu.models.ngp import NGP, _mlp_apply
 from ngp_pl_tpu.models.rendering import (
     render_rays_train,
     render_rays_train_csr,
+    render_rays_train_rounds,
 )
 from ngp_pl_tpu.ops.ray_march import _q99, _qtile
 from ngp_pl_tpu.ops.trunc_exp import trunc_exp
@@ -135,6 +136,16 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 rcfg=rcfg, exposure=exposure,
                 pool_mult=n_samples or None, chain_length=chain_length,
                 occ_rows=occ_rows, win_rows=win_rows)
+        elif layout == "rounds":
+            # multi-round strided render: pays ~the effective sample count
+            # (see render_rays_train_rounds)
+            results = render_rays_train_rounds(
+                ngp, params, occ_grid, rays_o, rays_d, noise, bg,
+                rcfg=rcfg, exposure=exposure,
+                n_samples=n_samples or 16,
+                chain_length=chain_length or 512,
+                lambda_distortion=tcfg.distortion_loss_w,
+                occ_rows=occ_rows, win_rows=win_rows)
         else:
             results = render_rays_train(
                 ngp, params, occ_grid, rays_o, rays_d, noise, bg,
@@ -169,6 +180,8 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "vr_counts_q": _q99(results["vr_counts"]),
             "vr_counts_q90": _qtile(results["vr_counts"], 0.90),
             "vr_counts_mean": results["vr_counts"].astype(jnp.float32).mean(),
+            "rounds_alive_end": results.get(
+                "rounds_alive_end", jnp.zeros((), jnp.int32)),
             "chain_demand": results["chain_demand"],
             "chain_demand_q": results["chain_demand_q"],
         }
@@ -210,6 +223,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 aux["vr_counts_q"].astype(jnp.float32),
                 aux["vr_counts_q90"].astype(jnp.float32),
                 aux["vr_counts_mean"],
+                aux["rounds_alive_end"].astype(jnp.float32),
             ]),
         }
         return (
