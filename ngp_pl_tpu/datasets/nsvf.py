@@ -30,9 +30,12 @@ _SPLIT_PREFIX = {"train": "0_", "val": "1_", "trainval": "[0-1]_",
                  "trainvaltest": "[0-2]_"}
 # scene bounds that need enlarging beyond the 1.05 default (nsvf.py:26-27)
 _BOUND_FACTOR = {"Mic": 1.2, "Lego": 1.1}
-# (width, height) per sub-dataset family at downsample 1 (nsvf.py:32-51)
+# (width, height) per sub-dataset family at downsample 1 (nsvf.py:32-51).
+# Ignatius precedes Tanks: its path usually contains "TanksAndTemple" too,
+# but it ships focal-only intrinsics (reference nsvf.py read_intrinsics
+# checks 'Ignatius' in root before the generic Tanks matrix branch)
 _FAMILY_WH = {"Synthetic": (800, 800), "BlendedMVS": (768, 576),
-              "Tanks": (1920, 1080), "Ignatius": (1920, 1080)}
+              "Ignatius": (1920, 1080), "Tanks": (1920, 1080)}
 
 
 def _family(root: str) -> str:

@@ -372,6 +372,10 @@ def render_rays_train_rounds(
             jnp.where(alive, pos, N)].set(
             jnp.arange(N, dtype=jnp.int32), mode="drop")
         raw = idx_full[:slots]
+        # gathers clamp the sentinel (values are masked by sel); scatters
+        # below use the UNCLAMPED raw with mode="drop" — a clamped pad slot
+        # would collide with ray N-1's real write (duplicate scatter
+        # indices, backend-dependent winner)
         idx = jnp.minimum(raw, N - 1)
         sel = (raw < N)
         dropped = dropped | (alive & (pos >= slots))
@@ -411,10 +415,9 @@ def render_rays_train_rounds(
             per_s = (2.0 * ((wts_ex_r + wt) * ws_ex_r
                             - (ws_ex_r + w) * wts_ex_r)
                      + (w * w * dts) / 3.0)
-            dist = dist.at[idx].add(
-                jnp.where(sel, per_s.sum(axis=1), 0.0))
-            ws_in = ws_in.at[idx].add(jnp.where(sel, w.sum(axis=1), 0.0))
-            wts_in = wts_in.at[idx].add(jnp.where(sel, wt.sum(axis=1), 0.0))
+            dist = dist.at[raw].add(per_s.sum(axis=1), mode="drop")
+            ws_in = ws_in.at[raw].add(w.sum(axis=1), mode="drop")
+            wts_in = wts_in.at[raw].add(wt.sum(axis=1), mode="drop")
 
         d_rgb = jnp.einsum("ns,cns->nc", w, rgbs_t)
         d_dep = (w * ts).sum(axis=1)
@@ -422,22 +425,19 @@ def render_rays_train_rounds(
         T_new = T0 * jnp.exp(-sd.sum(axis=1))
 
         def upd(full, delta):
-            pad = jnp.where(sel if delta.ndim == 1 else sel[:, None],
-                            delta, 0.0)
-            return full.at[idx].add(pad)
+            return full.at[raw].add(delta, mode="drop")
 
         rgb = upd(rgb, d_rgb)
         depth = upd(depth, d_dep)
         opacity = upd(opacity, d_opa)
-        T = T.at[idx].set(jnp.where(sel, T_new, T0))
-        t_cur = t_cur.at[idx].set(
-            jnp.where(sel, t_next, t_cur[idx]))
-        vr_counts = vr_counts.at[idx].add(
-            jnp.where(sel, (valid & keep).sum(axis=1), 0))
-        rm_counts = rm_counts.at[idx].add(jnp.where(sel, n_eff, 0))
+        T = T.at[raw].set(T_new, mode="drop")
+        t_cur = t_cur.at[raw].set(t_next, mode="drop")
+        vr_counts = vr_counts.at[raw].add((valid & keep).sum(axis=1),
+                                          mode="drop")
+        rm_counts = rm_counts.at[raw].add(n_eff, mode="drop")
         still = (sel & (T_new > rcfg.t_threshold)
                  & (t_next < t_end[idx]))
-        alive = jnp.zeros((N,), bool).at[idx].set(still, mode="drop")
+        alive = jnp.zeros((N,), bool).at[raw].set(still, mode="drop")
 
     # rays still alive after the last round are also truncated mid-depth
     loss_mask = ~(dropped | alive)
@@ -636,8 +636,12 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                 a2 = a2 & (s2 < rcfg.max_samples)
 
                 def upd(old_sel, new, old_full):
+                    # scatter with the unclamped sentinel + drop: a clamped
+                    # pad slot would duplicate ray N-1's index and could
+                    # overwrite its real update with stale values
                     keep = sel_alive if new.ndim == 1 else sel_alive[:, None]
-                    return old_full.at[idx].set(jnp.where(keep, new, old_sel))
+                    return old_full.at[raw].set(
+                        jnp.where(keep, new, old_sel), mode="drop")
 
                 return dict(
                     t_cur=upd(c["t_cur"][idx], t_next, c["t_cur"]),

@@ -75,6 +75,9 @@ META_W = 4           # (px, py, pz, pad) per sample; paired rows use 8 lanes
 def pack_table_f16(table: jnp.ndarray) -> jnp.ndarray:
     """(R, W) f32 table -> (R, W/2) uint32 of swizzled f16 bit pairs."""
     W = table.shape[-1]
+    # clamp to the f16 finite range: an overflowing weight would become inf
+    # whose bits the branchless decoder (e==31 unhandled) reads as ~2^16
+    table = jnp.clip(table, -65504.0, 65504.0)
     bits = jax.lax.bitcast_convert_type(
         table.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
     return bits[:, : W // 2] | (bits[:, W // 2:] << jnp.uint32(16))
