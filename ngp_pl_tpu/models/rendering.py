@@ -165,6 +165,12 @@ def render_rays_train(
         T_threshold=rcfg.t_threshold,
     )
     out["rgb"] = out["rgb"] + bg_rgb[None, :] * (1.0 - out["opacity"][:, None])
+    # all-or-nothing supervision: a ray whose occupied count exceeds S is
+    # front-truncated by the march — training on its partial render biases
+    # toward the covered entry slab (measured -5 dB, see RESULTS.md); drop
+    # such rays from the loss entirely (a zero-grad no-op, like CSR pool
+    # drops at saturation).  S tracks the q99 demand so this is ~1% of rays.
+    out["loss_mask"] = m.rm_counts <= S
     out["deltas"] = m.deltas
     out["ts"] = m.ts
     out["valid"] = m.valid

@@ -40,6 +40,9 @@ def nerf_loss(
                 results["ws"], results["deltas"], results["ts"],
                 results["valid"],
             )
+            if "loss_mask" in results:
+                d["distortion"] = d["distortion"] * results[
+                    "loss_mask"].astype(jnp.float32)
         else:                        # CSR pool layout
             d["distortion"] = lambda_distortion * distortion_loss(
                 results["ws"], results["deltas"], results["ts"],

@@ -178,13 +178,17 @@ class NeRFSystem:
         #   samples unsupervised (floaters on novel views — measured 15.7
         #   vs 30.9 PSNR on the bench scene).
         # "auto": CSR through grid warmup (uncapped demand stats, packing
-        # by need while everything is occupied), then the multi-round
-        # strided render (render_rays_train_rounds) — pays ~the effective
-        # sample count and serves heavy tails via extra rounds.  tcfg can
-        # pin "csr"/"strided"/"rounds" explicitly.
+        # by need while everything is occupied), then the cheaper of
+        # strided / CSR by predicted cost (see _consume_demand).  The
+        # multi-round render (render_rays_train_rounds) is available via
+        # tcfg.train_layout="rounds" — it pays ~the effective sample count,
+        # which only wins on scenes where early termination prunes hard
+        # (measured vr_s ~= rm_s on the bench scene, where its extra slot
+        # rounds make it the SLOWEST layout: 65 vs 37 ms/step).
         self.layout = (tcfg.train_layout if tcfg.train_layout != "auto"
                        else "csr")
         self._layout_vote = 0
+        self._shrink_votes = 0
         self._rounds_buckets = (8, 16, 24, 32)
         # static dt-chain bound sized to the scene's actual max ray range
         from ngp_pl_tpu.models.rendering import compute_scene_chain_length
@@ -289,6 +293,12 @@ class NeRFSystem:
             self._consume_demand(metrics)
         return metrics
 
+    def _pick_bucket(self, want: float) -> int:
+        for m in self._pool_buckets:
+            if m >= want:
+                return m
+        return self._pool_buckets[-1]
+
     def _consume_demand(self, metrics):
         """Re-bucket pool/chain/interval budgets from the observed demand.
 
@@ -322,7 +332,7 @@ class NeRFSystem:
         if self._host_step <= self.tcfg.grid_warmup_steps:
             return
         mode = self.tcfg.train_layout
-        if mode in ("auto", "rounds"):
+        if mode == "rounds":
             # multi-round render: S is the per-round budget; effective
             # coverage adapts through the rounds, so S follows the MEAN
             # effective demand with headroom, growing when many rays are
@@ -348,17 +358,24 @@ class NeRFSystem:
         rm_mean = rm / self.tcfg.batch_size
         want_mean = rm_mean * 1.25 + 2.0
         want_tail = rm_q * 1.05
-        # strided wins only when covering the tail costs at most ~one
-        # bucket over the mean (its per-sample path is cheaper, but every
-        # ray pays S); otherwise pack by need
         if mode in ("csr", "strided"):
             target_layout = mode
             want = want_tail if mode == "strided" else want_mean
-        elif want_tail <= self._pool_buckets[-1] \
-                and want_tail <= want_mean + 12.0:
-            target_layout, want = "strided", want_tail
         else:
-            target_layout, want = "csr", want_mean
+            # auto: minimize predicted step cost.  Per-slot-sample cost is
+            # ~1.37x higher on CSR than strided (segment compaction +
+            # segment-sum compositing vs pure lane-axis math; measured 50.5
+            # vs 37 ms/step at equal 262k-sample budgets,
+            # benchmarking/profile_rounds.py) — strided wins unless the
+            # tail bucket (q99 coverage; rays beyond S are DROPPED from the
+            # loss, rendering.py loss_mask) overshoots the mean-sized CSR
+            # pool by more than that factor.
+            b_tail = self._pick_bucket(want_tail)
+            b_mean = self._pick_bucket(want_mean)
+            if b_tail <= 1.37 * b_mean:
+                target_layout, want = "strided", want_tail
+            else:
+                target_layout, want = "csr", want_mean
         if target_layout != self.layout:
             self._layout_vote += 1
             if self._layout_vote >= 2:      # hysteresis: 2 intervals agree
@@ -369,12 +386,19 @@ class NeRFSystem:
             self._layout_vote = 0
         if target_layout == self.layout:
             self._pool_demand = max(0.8 * self._pool_demand, want)
-        for m in self._pool_buckets:
-            if m >= self._pool_demand:
-                self._pool_mult = m
-                break
+        new_mult = self._pick_bucket(self._pool_demand)
+        # sticky-down: growth applies immediately (under-budget drops rays)
+        # but shrinking waits for 2 consecutive agreeing intervals — a
+        # demand blip near a bucket boundary would otherwise flap between
+        # two jit variants every interval (measured 63/41 ms alternation)
+        if new_mult >= self._pool_mult:
+            self._pool_mult = new_mult
+            self._shrink_votes = 0
         else:
-            self._pool_mult = self._pool_buckets[-1]
+            self._shrink_votes += 1
+            if self._shrink_votes >= 2:
+                self._pool_mult = new_mult
+                self._shrink_votes = 0
         need = chain_q
         self._chain_demand = max(0.9 * self._chain_demand,
                                  need * 1.2)
