@@ -318,8 +318,8 @@ class NeRFSystem:
             return
         import numpy as _np
 
-        rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean, alive_end = (
-            float(v) for v in _np.asarray(prev))
+        (rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean, alive_end,
+         rm_mean_pre) = (float(v) for v in _np.asarray(prev))
         # Budget + layout from the demand SHAPE (see self.layout).  Every
         # OCCUPIED sample needs gradient flow — truncating a ray's tail
         # leaves the volume behind it unsupervised (floaters on novel
@@ -355,8 +355,12 @@ class NeRFSystem:
             else:
                 self._pool_mult = self._rounds_buckets[-1]
             return                       # chain stays at _rounds_chain
-        rm_mean = rm / self.tcfg.batch_size
-        want_mean = rm_mean * 1.25 + 2.0
+        # size from the PRE-clip per-ray mean: the pool-clipped rm total
+        # saturates at the budget and under-reports true demand (the
+        # observed limit cycle: saturated pool -> deflated stats -> smaller
+        # pool -> deeper saturation).  Headroom 1.15 + 2: saturation drops
+        # are random whole rays (unbiased) and should stay rare.
+        want_mean = rm_mean_pre * 1.15 + 2.0
         want_tail = rm_q * 1.05
         if mode in ("csr", "strided"):
             target_layout = mode
@@ -364,15 +368,17 @@ class NeRFSystem:
         else:
             # auto: minimize predicted step cost.  Per-slot-sample cost is
             # ~1.37x higher on CSR than strided (segment compaction +
-            # segment-sum compositing vs pure lane-axis math; measured 50.5
-            # vs 37 ms/step at equal 262k-sample budgets,
-            # benchmarking/profile_rounds.py) — strided wins unless the
-            # tail bucket (q99 coverage; rays beyond S are DROPPED from the
-            # loss, rendering.py loss_mask) overshoots the mean-sized CSR
-            # pool by more than that factor.
+            # segment-sum compositing vs pure lane-axis math, measured) —
+            # but strided DROPS every ray whose occupied count exceeds S
+            # from the loss (rendering.py loss_mask), the SAME rays every
+            # epoch.  It is therefore only eligible when a bucket covers
+            # the q99 tail (drops ~1%, like CSR saturation); on
+            # heavy-tailed scenes (bench scene: 19% of rays carry 96% of
+            # samples, q99 ~340) CSR-by-need is the only honest layout.
             b_tail = self._pick_bucket(want_tail)
             b_mean = self._pick_bucket(want_mean)
-            if b_tail <= 1.37 * b_mean:
+            if (want_tail <= self._pool_buckets[-1]
+                    and b_tail <= 1.37 * b_mean):
                 target_layout, want = "strided", want_tail
             else:
                 target_layout, want = "csr", want_mean

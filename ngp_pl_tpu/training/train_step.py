@@ -177,6 +177,10 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "vr_samples": results["vr_samples"],
             "rm_counts_max": results["rm_counts"].max(),
             "rm_counts_q": _q99(results["rm_counts"]),
+            # PRE-clip per-ray mean: rm_samples saturates at the pool/S
+            # budget, so sizing from it locks into the clipped regime (the
+            # round-4 limit cycle); per-ray rm_counts are never pool-clipped
+            "rm_counts_mean": results["rm_counts"].astype(jnp.float32).mean(),
             "vr_counts_q": _q99(results["vr_counts"]),
             "vr_counts_q90": _qtile(results["vr_counts"], 0.90),
             "vr_counts_mean": results["vr_counts"].astype(jnp.float32).mean(),
@@ -224,6 +228,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
                 aux["vr_counts_q90"].astype(jnp.float32),
                 aux["vr_counts_mean"],
                 aux["rounds_alive_end"].astype(jnp.float32),
+                aux["rm_counts_mean"],
             ]),
         }
         return (
