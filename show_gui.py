@@ -18,7 +18,7 @@ from ngp_pl_tpu.config import NGPConfig, RenderConfig, TrainConfig, add_train_ar
 from ngp_pl_tpu.datasets import dataset_dict
 from ngp_pl_tpu.datasets.ray_utils import get_ray_directions
 from ngp_pl_tpu.models.ngp import NGP
-from ngp_pl_tpu.models.rendering import make_test_renderer
+from ngp_pl_tpu.models.rendering import make_device_round_renderer
 from ngp_pl_tpu.training.checkpoint import load_slim_checkpoint
 
 
@@ -73,9 +73,21 @@ class NGPGUI:
         import jax.numpy as jnp
 
         self.occ_grid = jnp.asarray(occ)
-        # interactive thresholds (reference show_gui.py:82-88)
+        # interactive thresholds (reference show_gui.py:82-88) on the
+        # device-resident adaptive renderer — the same alive-ray bucketed
+        # loop eval.py/bench_fps.py measure (one dispatch per chunk; the
+        # chunked full-march renderer costs ~pool_mult x more field evals)
         rcfg = RenderConfig(max_samples=128, test_t_threshold=1e-2)
-        self.render_image = make_test_renderer(self.ngp, rcfg)
+        from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
+
+        dirs = get_ray_directions(img_wh[1], img_wh[0], K)
+        window_ok = (
+            cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+            and segment_march_dmax_ok(
+                dirs, grid_size=cfg.grid_size,
+                max_samples=rcfg.max_samples, scale=cfg.scale))
+        self.render_image = make_device_round_renderer(
+            self.ngp, rcfg, use_window=window_ok)
         self.cam = OrbitCamera(K, img_wh, r=radius)
         self.W, self.H = img_wh
 
