@@ -174,7 +174,7 @@ def no_ft_kernel(rows_ref, meta_ref, w1_ref, tab_lo, tab_hi, sel_lo,
     wr_lo = (f16_bits_to_f32(u) * wrow_lo).astype(jnp.bfloat16)
     wr_hi = (f16_bits_to_f32(u >> jnp.uint32(16)) * wrow_hi).astype(
         jnp.bfloat16)
-    ft_ref[0] = jnp.zeros_like(ft_ref)
+    ft_ref[0] = jnp.zeros_like(ft_ref[0])
     w1 = w1_ref[0]
     acc = (jnp.dot(wr_lo, w1[:Wh].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
@@ -198,7 +198,7 @@ def stream_kernel(rows_ref, meta_ref, w1_ref, tab_lo, tab_hi, sel_lo,
     def _():
         h1_ref[...] = jnp.zeros_like(h1_ref)
     h1_ref[...] += s[:, :H]
-    ft_ref[0] = jnp.zeros_like(ft_ref)
+    ft_ref[0] = jnp.zeros_like(ft_ref[0])
 
 
 def main():

@@ -546,7 +546,8 @@ def _next_pow2(n: int) -> int:
 def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                                chunk: int = 65536, max_rounds: int = 512,
                                use_window: bool = False,
-                               t_threshold: Optional[float] = None):
+                               t_threshold: Optional[float] = None,
+                               mesh=None, mesh_axis: str = "data"):
     """Device-resident adaptive renderer (reference rendering.py:46-118,
     re-designed for a high-latency host link).
 
@@ -561,10 +562,22 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     grows as rays converge, keeping useful work per round roughly constant
     instead of evaluating a mostly-dead fixed slot array.  The host sees
     exactly one dispatch per chunk.
+
+    mesh: optional jax.sharding.Mesh with a `mesh_axis` axis — chunk rays
+    are sharded across it and params/grid replicated, so test rendering
+    uses every chip (the DP split the reference gets from DDP validation,
+    train.py:225-237); GSPMD inserts the collectives for the global
+    alive-compaction/bucket choice.
     """
     cfg = ngp.cfg
     from ngp_pl_tpu.ops.ray_march import occupancy_lines, occupancy_windows
 
+    ray_sharding = repl_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sharding = NamedSharding(mesh, P(mesh_axis))
+        repl_sharding = NamedSharding(mesh, P())
     window = use_window and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
     thr = rcfg.test_t_threshold if t_threshold is None else t_threshold
     min_s = 1 if cfg.exp_step_factor == 0 else 4
@@ -700,6 +713,11 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             if pad:
                 ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            if ray_sharding is not None:
+                ro = jax.device_put(ro, ray_sharding)
+                rd = jax.device_put(rd, ray_sharding)
+                params = jax.device_put(params, repl_sharding)
+                occ_grid = jax.device_put(occ_grid, repl_sharding)
             rgb, depth, opa, ns, rnds = _render_chunk(params, occ_grid,
                                                       ro, rd)
             n = min(chunk, N - i)

@@ -84,8 +84,6 @@ class NeRFSystem:
                 grid_size=self.cfg.grid_size,
                 max_samples=self.rcfg.max_samples,
                 scale=self.cfg.scale))
-        self.render_image = make_device_round_renderer(
-            self.ngp, self.rcfg, use_window=test_window_ok)
         self.lpips = LPIPSHook()
 
         # data-parallel mesh (all devices by default, reference --num_gpus)
@@ -95,6 +93,11 @@ class NeRFSystem:
 
             mesh = data_mesh(jax.devices()[:n_dev], axis=tcfg.mesh_data_axis)
         self.mesh = mesh
+        # test rendering shards chunk rays over the same mesh (reference:
+        # DDP validation splits the test set per rank, train.py:225-237)
+        self.render_image = make_device_round_renderer(
+            self.ngp, self.rcfg, use_window=test_window_ok, mesh=mesh,
+            mesh_axis=tcfg.mesh_data_axis)
         self._repl = None
         self._shard0 = None
         if mesh is not None:
@@ -531,7 +534,11 @@ class NeRFSystem:
         n = len(self.test_dataset.poses)
         if max_images:
             n = min(n, max_images)
-        for idx in range(n):
+        # multi-host: each process scores every P-th image and the metric
+        # sums are all-gathered below (reference train.py:225-237
+        # all_gather of per-rank outputs); single-process: full range
+        n_proc = jax.process_count()
+        for idx in range(jax.process_index(), n, n_proc):
             item = self.test_dataset.test_item(idx)
             pose = item["pose"]
             dirs = self.test_dataset.directions
@@ -556,6 +563,26 @@ class NeRFSystem:
                 imageio.imwrite(
                     os.path.join(val_dir, f"{idx:03d}_d.png"),
                     depth2img(out["depth"].reshape(h, w)))
+        if n_proc > 1:
+            # sum-and-count all-gather so every process reports the global
+            # mean over the full test set (not its slice)
+            from jax.experimental import multihost_utils
+
+            local = np.asarray([
+                float(np.sum(psnrs)), float(len(psnrs)),
+                float(np.sum(ssims)), float(len(ssims)),
+                float(np.sum(lpipss)), float(len(lpipss)),
+            ], np.float32)
+            g = np.asarray(
+                multihost_utils.process_allgather(local)).reshape(n_proc, 6)
+            s = g.sum(axis=0)
+            out = {}
+            if s[1] > 0:
+                out["psnr"] = float(s[0] / s[1])
+                out["ssim"] = float(s[2] / s[3])
+                if s[5] > 0:
+                    out["lpips"] = float(s[4] / s[5])
+            return out
         out = {}
         if psnrs:
             out["psnr"] = float(np.mean(psnrs))
