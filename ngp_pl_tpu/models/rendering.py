@@ -270,9 +270,17 @@ def render_rays_train_csr(
         )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)
-    xyz = rays_o[ridx] + m.ts[:, None] * rays_d[ridx]
-    dirs = rays_d[ridx]
-    sample_exposure = exposure[ridx] if exposure is not None else None
+    # ONE 32-byte-row gather of [o | d | exposure] per sample instead of 2-3
+    # narrow (P, 3) gathers — gather cost on TPU is per ROW, so merging the
+    # per-ray payloads halves this stage's random-access count
+    ncol = 7 if exposure is not None else 6
+    od = jnp.concatenate(
+        [rays_o, rays_d] + ([exposure] if exposure is not None else []),
+        axis=1)
+    od = jnp.pad(od, ((0, 0), (0, 8 - ncol)))[ridx]          # (P, 8)
+    xyz = od[:, 0:3] + m.ts[:, None] * od[:, 3:6]
+    dirs = od[:, 3:6]
+    sample_exposure = od[:, 6:7] if exposure is not None else None
     sigmas, rgbs = ngp.forward(params, xyz, dirs, exposure=sample_exposure)
 
     out = composite_train(
@@ -490,8 +498,10 @@ def make_test_renderer(ngp: NGP, rcfg: RenderConfig, chunk: int = 16384,
                           else 2 * rcfg.max_samples),
         )
         ridx = jnp.clip(m.ray_idx, 0, N - 1)
-        xyz = rays_o[ridx] + m.ts[:, None] * rays_d[ridx]
-        sigmas, rgbs = ngp.forward(params, xyz, rays_d[ridx])
+        od = jnp.pad(jnp.concatenate([rays_o, rays_d], axis=1),
+                     ((0, 0), (0, 2)))[ridx]                 # (P, 8)
+        xyz = od[:, 0:3] + m.ts[:, None] * od[:, 3:6]
+        sigmas, rgbs = ngp.forward(params, xyz, od[:, 3:6])
         out = composite_train(
             sigmas, rgbs, m.deltas, m.ts, m.ray_idx, m.valid, m.offsets,
             n_rays=N, T_threshold=rcfg.test_t_threshold,
