@@ -43,9 +43,10 @@ def main():
     test_ds = SyntheticDataset(split="test", img_size=96, n_test=1)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     system.on_train_start()
-    for i in range(args.train_steps):
-        system.step()
-    jax.block_until_ready(system.state.params)
+    nb = tcfg.grid_update_interval
+    for i in range(args.train_steps // nb):
+        m = system.step_block()
+    float(np.asarray(m["loss"]))
     print(f"trained {args.train_steps} steps", file=sys.stderr, flush=True)
 
     # full-resolution camera on the same scene geometry

@@ -142,6 +142,56 @@ def unpack_feats(ft2: jnp.ndarray, L: int, F: int, dup: int) -> jnp.ndarray:
         L, M * dup, F)
 
 
+PT_PAD = 32      # 27 corner points padded to a sublane multiple
+
+
+def point_expand_halves(F: int, W: int):
+    """Static (PT_PAD, W/2) 0/1 expanders: E_half[p, lane] = 1 iff lane
+    `lane` of that half-row carries point p (rows 27..31 are dead padding).
+
+    wrow_half = w27^T E_half as one tiny MXU contraction — the per-point
+    trilinear weights are computed TRANSPOSED as (PT_PAD, rb) (27 sublanes
+    instead of W lanes: ~5x fewer VPU element-ops than evaluating the hat
+    functions per lane) and expanded to lane layout by the matmul."""
+    Wh = W // 2
+    E_lo = np.zeros((PT_PAD, Wh), np.float32)
+    E_hi = np.zeros((PT_PAD, Wh), np.float32)
+    for lane in range(Wh):
+        p = lane // F
+        if p < N_PTS:
+            E_lo[p, lane] = 1.0
+        p2 = (lane + Wh) // F
+        if p2 < N_PTS:
+            E_hi[p2, lane] = 1.0
+    return E_lo, E_hi
+
+
+def _w27(meta_blk):
+    """meta (4|8, rb) p-values -> (PT_PAD, rb) per-point trilinear weights
+    (transposed layout; rows >= 27 zero).  No meta transpose needed: the
+    p-values already arrive with samples on the lane axis."""
+    px = meta_blk[0:1, :]
+    py = meta_blk[1:2, :]
+    pz = meta_blk[2:3, :]
+    pid = jax.lax.broadcasted_iota(jnp.int32, (PT_PAD, 1), 0)
+    cx = (pid // 9).astype(jnp.float32)
+    cy = ((pid // 3) % 3).astype(jnp.float32)
+    cz = (pid % 3).astype(jnp.float32)
+    valid = (pid < N_PTS).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - px))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy - py))
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(cz - pz))
+    return wx * wy * wz * valid
+
+
+def _expand_w27(w27, e_ref):
+    """(PT_PAD, rb) x (PT_PAD, Wh) -> (rb, Wh) lane weights (MXU)."""
+    return jax.lax.dot_general(
+        w27.astype(jnp.bfloat16), e_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _wrow(meta_blk, tab_ref, paired: bool):
     """meta (8|4, rb) p-values + lane table -> (rb, W) trilinear weights."""
     m2 = jnp.transpose(meta_blk)            # (rb, 8|4)
@@ -185,15 +235,18 @@ def _fwd_kernel(rows_ref, meta_ref, w1_ref, tab_ref, sel_ref, h1_ref, ft_ref,
     h1_ref[...] += acc
 
 
-def _fwd_kernel_packed(rows_ref, meta_ref, w1_ref, tab_lo_ref, tab_hi_ref,
+def _fwd_kernel_packed(rows_ref, meta_ref, w1_ref, e_lo_ref, e_hi_ref,
                        sel_lo_ref, sel_hi_ref, h1_ref, ft_ref):
     """Packed-f16 rows variant (W == 128, unpaired): rows arrive as
     (rb, W/2) u32 swizzled bit pairs; each half-row decodes in place and
-    contracts against its half of w1/sel — no cross-lane shuffles."""
+    contracts against its half of w1/sel — no cross-lane shuffles.
+    Trilinear weights are computed per POINT transposed (27 sublanes) and
+    expanded to lanes with a tiny MXU dot (see point_expand_halves)."""
     l = pl.program_id(1)
     Wh = rows_ref.shape[-1]
-    wrow_lo = _wrow(meta_ref[0], tab_lo_ref, False)       # (rb, W/2)
-    wrow_hi = _wrow(meta_ref[0], tab_hi_ref, False)
+    w27 = _w27(meta_ref[0])
+    wrow_lo = _expand_w27(w27, e_lo_ref)                  # (rb, W/2)
+    wrow_hi = _expand_w27(w27, e_hi_ref)
     u = rows_ref[0]
     wr_lo = (f16_bits_to_f32(u) * wrow_lo).astype(jnp.bfloat16)
     wr_hi = (f16_bits_to_f32(u >> jnp.uint32(16))
@@ -218,6 +271,26 @@ def _fwd_kernel_packed(rows_ref, meta_ref, w1_ref, tab_lo_ref, tab_hi_ref,
         h1_ref[...] = jnp.zeros_like(h1_ref)
 
     h1_ref[...] += acc
+
+
+def point_expand_full(F: int, W: int) -> np.ndarray:
+    """(PT_PAD, W) 0/1 expander for the full-width row (unpaired)."""
+    E = np.zeros((PT_PAD, W), np.float32)
+    for lane in range(W):
+        p = lane // F
+        if p < N_PTS:
+            E[p, lane] = 1.0
+    return E
+
+
+def _bwd_kernel_w27(meta_ref, w1_ref, g_ref, e_ref, drows_ref):
+    """Unpaired backward with the transposed-w27 weight path."""
+    wrow = _expand_w27(_w27(meta_ref[0]), e_ref)          # (rb, W)
+    d_wr = jax.lax.dot_general(
+        g_ref[...].astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    drows_ref[0] = (d_wr * wrow).astype(jnp.bfloat16)
 
 
 def _bwd_kernel(meta_ref, w1_ref, g_ref, tab_ref, drows_ref, *, paired: bool):
@@ -260,7 +333,7 @@ def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
     if packed:
         assert W == 2 * rows.shape[-1] and W != LANE_W, (W, rows.shape)
         Wh, rb = W // 2, bn
-        tab = lane_table(F, W)
+        e_lo, e_hi = point_expand_halves(F, W)
         sel = feat_selector(F, W)
         h1p, ft2 = pl.pallas_call(
             _fwd_kernel_packed,
@@ -269,8 +342,8 @@ def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
                 pl.BlockSpec((1, rb, Wh), lambda n, l: (l, n, 0)),
                 pl.BlockSpec((1, META_W, rb), lambda n, l: (l, 0, n)),
                 pl.BlockSpec((1, W, H), lambda n, l: (l, 0, 0)),
-                pl.BlockSpec((8, Wh), lambda n, l: (0, 0)),
-                pl.BlockSpec((8, Wh), lambda n, l: (0, 0)),
+                pl.BlockSpec((PT_PAD, Wh), lambda n, l: (0, 0)),
+                pl.BlockSpec((PT_PAD, Wh), lambda n, l: (0, 0)),
                 pl.BlockSpec((Wh, F), lambda n, l: (0, 0)),
                 pl.BlockSpec((Wh, F), lambda n, l: (0, 0)),
             ],
@@ -284,7 +357,7 @@ def encode_mlp_fwd_pallas(rows, meta_T, w1big, *, F: int, bn: int = 4096,
             ],
             interpret=interpret,
         )(rows, meta_T, w1big,
-          jnp.asarray(tab[:, :Wh]), jnp.asarray(tab[:, Wh:]),
+          jnp.asarray(e_lo), jnp.asarray(e_hi),
           jnp.asarray(sel[:Wh]), jnp.asarray(sel[Wh:]))
         return h1p.reshape(N, H), ft2
     paired = W == LANE_W
@@ -335,8 +408,23 @@ def encode_mlp_bwd_pallas(meta_T, w1big, g, *, F: int, bn: int = 4096,
     rb, Wk, Hk = bn // dup, dup * W, dup * H
     g_k = g.reshape(N // dup, Hk)
     w1_k = make_w1_dbl(w1big) if paired else w1big
-    tab = jnp.asarray(lane_table(F, Wk, dup))
     grid = (N // bn, L)
+    if not paired:
+        drows = pl.pallas_call(
+            _bwd_kernel_w27,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, META_W, rb), lambda n, l: (l, 0, n)),
+                pl.BlockSpec((1, Wk, Hk), lambda n, l: (l, 0, 0)),
+                pl.BlockSpec((rb, Hk), lambda n, l: (n, 0)),
+                pl.BlockSpec((PT_PAD, Wk), lambda n, l: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rb, Wk), lambda n, l: (l, n, 0)),
+            out_shape=jax.ShapeDtypeStruct((L, N, Wk), jnp.bfloat16),
+            interpret=interpret,
+        )(meta_T, w1_k, g_k, jnp.asarray(point_expand_full(F, Wk)))
+        return drows
+    tab = jnp.asarray(lane_table(F, Wk, dup))
     drows = pl.pallas_call(
         functools.partial(_bwd_kernel, paired=paired),
         grid=grid,
