@@ -55,3 +55,17 @@ def test_gui_screenshot_device_round_renderer(tmp_path):
     assert rgb.shape == (ds.img_wh[1], ds.img_wh[0], 3)
     assert np.isfinite(rgb).all()
     assert gui.dt > 0 and gui.mean_samples >= 0
+
+
+@pytest.mark.slow  # runs a tiny training via the benchmark recipe script
+def test_benchmark_recipe_smoke(tmp_path):
+    """The per-dataset benchmark recipe scripts (reference
+    benchmarking/benchmark_*.sh) smoke-run hermetically with SMOKE=1."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, SMOKE="1", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        ["bash", "/root/repo/benchmarking/benchmark_synthetic_nerf.sh"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
