@@ -557,7 +557,8 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                                chunk: int = 65536, max_rounds: int = 512,
                                use_window: bool = False,
                                t_threshold: Optional[float] = None,
-                               mesh=None, mesh_axis: str = "data"):
+                               mesh=None, mesh_axis: str = "data",
+                               buckets=None):
     """Device-resident adaptive renderer (reference rendering.py:46-118,
     re-designed for a high-latency host link).
 
@@ -598,17 +599,18 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     # first bucket honors min_s (reference rendering.py:80: N_samples =
     # clamp(N_rays // N_alive, min_samples, 64) == min_samples while most
     # rays are alive); later buckets grow 4x as the alive set shrinks
-    buckets = []
-    s, ns = chunk, max(min_s, 4)
-    first = True
-    while s >= 1024 and ns <= 64:
-        buckets.append((s, ns, 256 if first else 128))
-        s //= 4
-        ns = min(64, ns * 4)
-        first = False
-    tail = (min(max(s, 256), chunk), 64, 128)
-    if tail not in buckets:
-        buckets.append(tail)
+    if buckets is None:
+        buckets = []
+        s, ns = chunk, max(min_s, 4)
+        first = True
+        while s >= 1024 and ns <= 64:
+            buckets.append((s, ns, 256 if first else 128))
+            s //= 4
+            ns = min(64, ns * 4)
+            first = False
+        tail = (min(max(s, 256), chunk), 64, 128)
+        if tail not in buckets:
+            buckets.append(tail)
 
     @jax.jit
     def _render_chunk(params, occ_grid, rays_o, rays_d):
