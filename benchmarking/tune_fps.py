@@ -99,5 +99,45 @@ def main():
               f"{out['total_samples']/len(rays_o):.1f}", flush=True)
 
 
+def main_oneshot():
+    """Time the upgraded one-shot CSR test renderer on the same frame."""
+    tcfg = TrainConfig(dataset_name="synthetic", batch_size=8192,
+                       exp_name="tune_fps", no_save_test=True)
+    train_ds = SyntheticDataset(split="train", img_size=96, n_train=8)
+    test_ds = SyntheticDataset(split="test", img_size=96, n_test=1)
+    system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
+    params, grid = ckpt.load_slim_checkpoint(CKPT, params=system.state.params)
+    occ = jnp.asarray(grid)
+
+    W = H = 800
+    f = 1.2 * W
+    K = np.float32([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    dirs = get_ray_directions(H, W, K)
+    pose = test_ds.poses[0]
+    rays_d = (dirs @ pose[:, :3].T).astype(np.float32)
+    rays_o = np.broadcast_to(pose[:, 3], rays_d.shape).astype(np.float32)
+
+    from ngp_pl_tpu.models.rendering import make_test_renderer
+    from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
+
+    use_window = bool(segment_march_dmax_ok(dirs, scale=system.cfg.scale))
+    for chunk, pm, chain in ((16384, 32, 1152), (32768, 32, 1152),
+                             (16384, 48, 1152), (32768, 32, 896)):
+        render = make_test_renderer(system.ngp, system.rcfg, chunk=chunk,
+                                    pool_mult=pm, use_window=use_window,
+                                    chain_length=chain, t_threshold=1e-2)
+        out = render(params, occ, rays_o, rays_d)
+        t0 = time.time()
+        out = render(params, occ, rays_o, rays_d)
+        dt = time.time() - t0
+        print(f"one-shot csr chunk {chunk} x{pm} chain {chain}: "
+              f"{dt*1e3:7.0f} ms/frame {1.0/dt:6.2f} fps "
+              f"samples/ray {out['total_samples']/len(rays_o):.1f}",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ONESHOT"):
+        main_oneshot()
+    else:
+        main()

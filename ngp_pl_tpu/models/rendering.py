@@ -476,27 +476,56 @@ def render_rays_train_rounds(
 
 
 def make_test_renderer(ngp: NGP, rcfg: RenderConfig, chunk: int = 16384,
-                       pool_mult: int = 64):
+                       pool_mult: int = 64, use_window: bool = False,
+                       chain_length: int = 0,
+                       t_threshold: Optional[float] = None):
     """Build a no-grad chunked whole-image renderer (reference
-    rendering.py:31-36 test path + test.ipynb usage)."""
+    rendering.py:31-36 test path + test.ipynb usage).
+
+    One full-chain march + one CSR field pass per chunk: pays the occupied
+    count (rm) with NO per-round scheduling overhead.  On scenes whose
+    sample mass sits in fringe-grazing rays that never cross the early-out
+    threshold (vr ~= rm, e.g. the procedural bench scene), this beats the
+    adaptive round renderer, whose rounds re-pay march/compaction per
+    round; on hard-surface scenes the round renderer's early termination
+    wins.  use_window enables the 64B-window occupancy march (single
+    cascade, uniform stepping, `segment_march_dmax_ok` holds)."""
     cfg = ngp.cfg
+    thr = rcfg.test_t_threshold if t_threshold is None else t_threshold
+    from ngp_pl_tpu.ops.ray_march import occupancy_windows
+
+    window = use_window and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
 
     @jax.jit
     def _render_chunk(params, occ_grid, rays_o, rays_d):
         N = rays_o.shape[0]
         hits_t = scene_hits(rays_o, rays_d, cfg.scale)
-        m = march_rays_train(
-            rays_o, rays_d, hits_t, occ_grid,
-            jnp.zeros((N,), rays_o.dtype),    # no start jitter at test time
-            cascades=cfg.cascades,
-            scale=cfg.scale,
-            exp_step_factor=cfg.exp_step_factor,
-            grid_size=cfg.grid_size,
-            max_samples=rcfg.max_samples,
-            pool_size=N * pool_mult,
-            chain_length=(rcfg.max_samples if cfg.exp_step_factor == 0
-                          else 2 * rcfg.max_samples),
-        )
+        chain = chain_length or (
+            rcfg.max_samples if cfg.exp_step_factor == 0
+            else 2 * rcfg.max_samples)
+        if window:
+            m = march_rays_train_window(
+                rays_o, rays_d, hits_t,
+                jnp.zeros((N,), rays_o.dtype),
+                occupancy_windows(occ_grid),
+                scale=cfg.scale,
+                grid_size=cfg.grid_size,
+                max_samples=rcfg.max_samples,
+                pool_size=N * pool_mult,
+                chain_length=chain,
+            )
+        else:
+            m = march_rays_train(
+                rays_o, rays_d, hits_t, occ_grid,
+                jnp.zeros((N,), rays_o.dtype),  # no start jitter at test
+                cascades=cfg.cascades,
+                scale=cfg.scale,
+                exp_step_factor=cfg.exp_step_factor,
+                grid_size=cfg.grid_size,
+                max_samples=rcfg.max_samples,
+                pool_size=N * pool_mult,
+                chain_length=chain,
+            )
         ridx = jnp.clip(m.ray_idx, 0, N - 1)
         od = jnp.pad(jnp.concatenate([rays_o, rays_d], axis=1),
                      ((0, 0), (0, 2)))[ridx]                 # (P, 8)
@@ -504,7 +533,7 @@ def make_test_renderer(ngp: NGP, rcfg: RenderConfig, chunk: int = 16384,
         sigmas, rgbs = ngp.forward(params, xyz, od[:, 3:6])
         out = composite_train(
             sigmas, rgbs, m.deltas, m.ts, m.ray_idx, m.valid, m.offsets,
-            n_rays=N, T_threshold=rcfg.test_t_threshold,
+            n_rays=N, T_threshold=thr,
         )
         return out["rgb"], out["depth"], out["opacity"], out["vr_samples"].sum()
 
@@ -600,13 +629,18 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     # clamp(N_rays // N_alive, min_samples, 64) == min_samples while most
     # rays are alive); later buckets grow 4x as the alive set shrinks
     if buckets is None:
+        # 2x slot ladder, S starting at 8: measured 1.7x faster frames than
+        # the original 4x/S=4 ladder (benchmarking/tune_fps.py: 4.4 vs 7.4 s
+        # at 800^2) — 4x slot steps waste up to 75% of a round's slots on
+        # dead rays, and S=4 re-pays the round's fixed march/compaction cost
+        # too often for surface rays
         buckets = []
-        s, ns = chunk, max(min_s, 4)
+        s, ns = chunk, max(min_s, 8)
         first = True
         while s >= 1024 and ns <= 64:
             buckets.append((s, ns, 256 if first else 128))
-            s //= 4
-            ns = min(64, ns * 4)
+            s //= 2
+            ns = min(64, ns * 2)
             first = False
         tail = (min(max(s, 256), chunk), 64, 128)
         if tail not in buckets:
