@@ -232,32 +232,26 @@ def march_rays_test_round(
         occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
 
-    occ_i = occ.astype(jnp.int32)
-    incl = jnp.cumsum(occ_i, axis=1)
-    take = occ & (incl <= S)
-    n_eff = jnp.minimum(incl[:, -1], S)                        # (N,)
-
-    # first-S selection: top_k over keys favoring earliest taken steps
-    keys = jnp.where(take, -jnp.arange(K, dtype=jnp.int32)[None, :],
-                     -(K + 1))
-    # top_k sorts keys descending => -k descending => k ASCENDING, with the
-    # -(K+1) non-taken sentinels last — already front-to-back order
-    _, idx = jax.lax.top_k(keys, S)                            # (N, S)
-    s_valid = jnp.arange(S)[None, :] < n_eff[:, None]
+    # first-S selection via the bit-packed popcount scheme (shared with the
+    # strided train march) — replaces a full-width (N, K) cumsum + top_k
+    # (top_k alone measured 2.74 ms at (8192, 896); per inference round at
+    # (65536, 256) it dominated the round's cost)
+    pad_k = (-K) % 32
+    occ_p = (jnp.pad(occ, ((0, 0), (0, pad_k))) if pad_k else occ)
+    k_idx, counts, _total = _select_first_bits(occ_p, S)
+    n_eff = counts                                             # (N,)
+    s_valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_eff[:, None]
     # recompute t at the selected chain indices from the closed form — a
     # take_along_axis here would lower to a per-row gather (measured ~5x the
     # cost of the arithmetic at pool shapes)
-    ts_s = _chain_t(t_start[:, None], idx.astype(jnp.float32),
+    ts_s = _chain_t(t_start[:, None], k_idx.astype(jnp.float32),
                     exp_step_factor, dt_min, dt_max)
     dts_s = jnp.clip(ts_s * exp_step_factor, dt_min, dt_max)
 
     # resume cursor: after the S-th occupied sample, else after the last
     # examined chain step (still < t_end) — mirrors hits_t advance in the
-    # reference test kernel (raymarching.cu:390).  Chain index of the last
-    # taken sample: max over taken steps (idx rows are not usable without a
-    # per-row gather).
-    kk_i = jnp.arange(K, dtype=jnp.int32)[None, :]
-    last_k = jnp.max(jnp.where(take, kk_i, -1), axis=1)        # (N,)
+    # reference test kernel (raymarching.cu:390)
+    last_k = jnp.max(jnp.where(s_valid, k_idx, -1), axis=1)    # (N,)
     last_t = jnp.where(
         n_eff >= S,
         _chain_t(t_start, (last_k + 1).astype(jnp.float32),
