@@ -31,16 +31,33 @@ def run(tag, n_levels, n_features, steps):
     test_ds = SyntheticDataset(split="test", img_size=96, n_test=2)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     system.on_train_start()
-    for i in range(steps):
-        m = system.step()
-        if (i + 1) % 256 == 0:
-            print(f"  {tag} {i+1}/{steps} loss {float(np.asarray(m['loss'])):.4f}",
-                  file=sys.stderr, flush=True)
+    nb = tcfg.grid_update_interval
+    if system.rays_device is not None and steps % nb == 0:
+        # scanned 16-step blocks: one dispatch per grid interval (the
+        # per-step host loop pays ~20 ms of dispatch each through the
+        # remote tunnel — 2x wall time at 30k steps)
+        for i in range(steps // nb):
+            m = system.step_block()
+            if ((i + 1) * nb) % 1024 == 0:
+                print(f"  {tag} {(i+1)*nb}/{steps} loss "
+                      f"{float(np.asarray(m['loss'])):.4f}",
+                      file=sys.stderr, flush=True)
+    else:
+        for i in range(steps):
+            m = system.step()
+            if (i + 1) % 256 == 0:
+                print(f"  {tag} {i+1}/{steps} loss "
+                      f"{float(np.asarray(m['loss'])):.4f}",
+                      file=sys.stderr, flush=True)
     float(np.asarray(m["loss"]))
     system.freeze_buckets = True
     t0 = time.time()
-    for i in range(64):
-        m = system.step()
+    if system.rays_device is not None and system._host_step % nb == 0:
+        for i in range(64 // nb):
+            m = system.step_block()
+    else:
+        for i in range(64):
+            m = system.step()
     float(np.asarray(m["loss"]))
     rps = 8192 * 64 / (time.time() - t0)
     scores = system.validate(save_images=False)
