@@ -80,7 +80,9 @@ def _fwd_kernel(h1_ref, sh_ref, w2_ref, wr1_ref, wr2_ref, wr3_ref, out_ref):
     sh_b = jnp.transpose(sh_ref[...])                     # (bn, 16)
     x, h, z1, r1, z2, r2, z3 = _fwd_compute(
         h1_ref[...], sh_b, w2_ref, wr1_ref, wr2_ref, wr3_ref)
-    sigma = jnp.exp(h[:, 0:1])                            # TruncExp fwd
+    # TruncExp fwd with the same +/-30 input clamp as ops/trunc_exp.py —
+    # an unclamped logit past ~88.7 overflows f32 exp and poisons training
+    sigma = jnp.exp(jnp.clip(h[:, 0:1], -30.0, 30.0))
     rgb = jax.nn.sigmoid(z3[:, :3])
     bn = sigma.shape[0]
     out = jnp.concatenate(
