@@ -38,7 +38,7 @@ def run(tag, n_levels, n_features, steps):
         # remote tunnel — 2x wall time at 30k steps)
         for i in range(steps // nb):
             m = system.step_block()
-            if ((i + 1) * nb) % 1024 == 0:
+            if ((i + 1) * nb) % 256 == 0:
                 print(f"  {tag} {(i+1)*nb}/{steps} loss "
                       f"{float(np.asarray(m['loss'])):.4f}",
                       file=sys.stderr, flush=True)
