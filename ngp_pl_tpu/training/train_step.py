@@ -201,7 +201,22 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, occ_grid, occ_rows, win_rows, poses_all,
             directions, batch, key, n_samples, chain_length, layout)
-        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        # Non-finite-gradient step skip — the semantics the reference gets
+        # for free from Lightning AMP's GradScaler (train.py precision=16:
+        # a step whose grads contain inf/NaN is skipped, optimizer state
+        # untouched).  Without it one transient forward blow-up poisons
+        # Adam's moments and the run is irrecoverable (observed: 30k-step
+        # procedural runs died at ~step 12.2k).  Costs one isfinite
+        # reduction per leaf; keeps the opt-state tree layout unchanged.
+        grads_finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
+        updates, opt_state_new = optimizer.update(
+            grads, state.opt_state, trainable)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(grads_finite, n, o),
+            opt_state_new, state.opt_state)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(grads_finite, u, jnp.zeros_like(u)), updates)
         trainable = optax.apply_updates(trainable, updates)
         if use_pose:
             params, pose_params = trainable["net"], trainable["pose"]
@@ -212,6 +227,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
         metrics = {
             "loss": loss,
             "psnr": psnr,
+            "grads_finite": grads_finite,
             "rm_samples": aux["rm_samples"],
             "vr_samples": aux["vr_samples"],
             "rm_counts_max": aux["rm_counts_max"],
@@ -323,8 +339,11 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
 
         state, ms = jax.lax.scan(one, state, None, length=n_steps)
         metrics = {k: v[-1] for k, v in ms.items()}
-        metrics["demand_vec"] = ms["demand_vec"].max(axis=0)
+        # nan_to_num: one non-finite step must not poison the block max that
+        # feeds the host's bucket controller
+        metrics["demand_vec"] = jnp.nan_to_num(ms["demand_vec"]).max(axis=0)
         metrics["rm_samples"] = ms["rm_samples"].max(axis=0)
+        metrics["grads_finite"] = ms["grads_finite"].all()
         return state, metrics
 
     train_step.device_variant = train_step_device

@@ -98,3 +98,40 @@ def test_checkpoint_geometry_mismatch_errors(tmp_path, trained_system):
     other = make_system(n_levels=4, n_features=2)
     with pytest.raises(ValueError, match="different model geometry"):
         load_slim_checkpoint(p, params=other.state.params)
+
+
+def test_nonfinite_grad_step_skipped(trained_system):
+    """A step whose gradients blow up must leave params AND optimizer
+    moments untouched — the semantics the reference gets from Lightning
+    AMP's GradScaler (precision=16: inf/NaN-grad steps are skipped).
+    Round 4: without this, one transient forward overflow at ~step 12.2k
+    of a 30k-step run poisoned Adam state irrecoverably."""
+    import jax
+
+    sys = trained_system
+    before_p = jax.tree_util.tree_map(np.asarray, sys.state.params)
+    before_o = jax.tree_util.tree_map(np.asarray, sys.state.opt_state)
+
+    b = sys.sample_batch()
+    b = dict(b)
+    rgb = np.asarray(b["rgb"]).copy()
+    # poison EVERY target: a single bad ray can be sample-free (median ray
+    # hits nothing), in which case its NaN never reaches any parameter
+    rgb[:] = np.nan
+    b["rgb"] = rgb
+    m = sys.step(b)
+    assert not bool(np.asarray(m["grads_finite"]))
+
+    after_p = jax.tree_util.tree_map(np.asarray, sys.state.params)
+    after_o = jax.tree_util.tree_map(np.asarray, sys.state.opt_state)
+    for bp, ap in zip(jax.tree_util.tree_leaves(before_p),
+                      jax.tree_util.tree_leaves(after_p)):
+        np.testing.assert_array_equal(bp, ap)
+    for bo, ao in zip(jax.tree_util.tree_leaves(before_o),
+                      jax.tree_util.tree_leaves(after_o)):
+        np.testing.assert_array_equal(bo, ao)
+
+    # and a healthy step afterwards still updates + reports finite grads
+    m2 = sys.step(sys.sample_batch())
+    assert bool(np.asarray(m2["grads_finite"]))
+    assert np.isfinite(float(m2["loss"]))
