@@ -37,8 +37,13 @@ def leaf_stats(tree, name=""):
 
 def main():
     steps = int(os.environ.get("HUNT_STEPS", 16384))
+    # HUNT_EPOCHS pins the lr-schedule length independently of how far the
+    # hunt runs: the ~12.2k-step blow-up only reproduces under the 30-epoch
+    # cosine schedule (HUNT_EPOCHS=30) — a schedule derived from HUNT_STEPS
+    # holds a lower lr at the same step and sails through (round-4 data)
+    epochs = int(os.environ.get("HUNT_EPOCHS", max(1, steps // 1000)))
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=8192,
-                       num_epochs=max(1, steps // 1000),
+                       num_epochs=epochs,
                        iters_per_epoch=1000,
                        exp_name="nan_hunt", no_save_test=True)
     train_ds = SyntheticDataset(split="train", img_size=96, n_train=8)
@@ -70,6 +75,18 @@ def main():
     else:
         print("no NaN reproduced", flush=True)
         return
+
+    # persist the pre-failure snapshot so later diagnosis can replay the
+    # failing block directly instead of retraining ~12k steps (~12 min of
+    # tunnel time per attempt)
+    import pickle
+
+    snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_nan_snap.pkl")
+    host_snap = jax.tree_util.tree_map(np.asarray, snap[:3]) + snap[3:]
+    with open(snap_path, "wb") as f:
+        pickle.dump({"snap": host_snap, "steps": steps, "epochs": epochs}, f)
+    print(f"pre-failure snapshot -> {snap_path}", flush=True)
 
     # restore the snapshot BEFORE the failing block and replay step by step
     (system.state, system.grid_state, system.key, system._host_step,
