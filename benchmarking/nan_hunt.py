@@ -35,13 +35,7 @@ def leaf_stats(tree, name=""):
     return out
 
 
-def main():
-    steps = int(os.environ.get("HUNT_STEPS", 16384))
-    # HUNT_EPOCHS pins the lr-schedule length independently of how far the
-    # hunt runs: the ~12.2k-step blow-up only reproduces under the 30-epoch
-    # cosine schedule (HUNT_EPOCHS=30) — a schedule derived from HUNT_STEPS
-    # holds a lower lr at the same step and sails through (round-4 data)
-    epochs = int(os.environ.get("HUNT_EPOCHS", max(1, steps // 1000)))
+def build_system(epochs):
     tcfg = TrainConfig(dataset_name="synthetic", batch_size=8192,
                        num_epochs=epochs,
                        iters_per_epoch=1000,
@@ -50,48 +44,20 @@ def main():
     test_ds = SyntheticDataset(split="test", img_size=96, n_test=2)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     system.on_train_start()
-    nb = tcfg.grid_update_interval
+    return system
 
-    prev = None
-    for i in range(steps // nb):
-        snap = (system.state, system.grid_state, system.key,
-                system._host_step, system.layout, system._pool_mult,
-                system.chain_length, system._pool_demand,
-                system._pending_demand)
-        m = system.step_block()
-        loss = float(np.asarray(m["loss"]))
-        step_now = (i + 1) * nb
-        if step_now % 512 == 0:
-            tbl = np.asarray(system.state.params["hash_table"])
-            print(f"step {step_now:6d} loss {loss:.5f} "
-                  f"rm_s {float(np.asarray(m['rm_samples']))/8192:5.1f} "
-                  f"tbl_absmax {np.abs(tbl).max():9.2f} "
-                  f"S {system._pool_mult} {system.layout}", flush=True)
-        if not np.isfinite(loss):
-            print(f"*** non-finite loss in block ending at step {step_now}",
-                  flush=True)
-            break
-        prev = snap
-    else:
-        print("no NaN reproduced", flush=True)
-        return
 
-    # persist the pre-failure snapshot so later diagnosis can replay the
-    # failing block directly instead of retraining ~12k steps (~12 min of
-    # tunnel time per attempt)
-    import pickle
-
-    snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "_nan_snap.pkl")
-    host_snap = jax.tree_util.tree_map(np.asarray, snap[:3]) + snap[3:]
-    with open(snap_path, "wb") as f:
-        pickle.dump({"snap": host_snap, "steps": steps, "epochs": epochs}, f)
-    print(f"pre-failure snapshot -> {snap_path}", flush=True)
-
-    # restore the snapshot BEFORE the failing block and replay step by step
+def restore(system, snap):
     (system.state, system.grid_state, system.key, system._host_step,
      system.layout, system._pool_mult, system.chain_length,
      system._pool_demand, system._pending_demand) = snap
+
+
+def replay_block(system, snap):
+    """Restore the pre-failure snapshot, replay its block step-by-step and
+    dump which leaf / stage goes non-finite first."""
+    nb = system.tcfg.grid_update_interval
+    restore(system, snap)
     print("replaying the failing block step-by-step...", flush=True)
     for j in range(nb):
         before = system.state
@@ -117,6 +83,53 @@ def main():
             g = np.asarray(system.grid_state.occ_grid)
             print(f"  occ occupancy {float((g > 0).mean()):.4f}", flush=True)
             break
+
+
+def main():
+    steps = int(os.environ.get("HUNT_STEPS", 16384))
+    # HUNT_EPOCHS pins the lr-schedule length independently of how far the
+    # hunt runs: the ~12.2k-step blow-up only reproduces under the 30-epoch
+    # cosine schedule (HUNT_EPOCHS=30) — a schedule derived from HUNT_STEPS
+    # holds a lower lr at the same step and sails through (round-4 data)
+    epochs = int(os.environ.get("HUNT_EPOCHS", max(1, steps // 1000)))
+    system = build_system(epochs)
+    nb = system.tcfg.grid_update_interval
+
+    for i in range(steps // nb):
+        snap = (system.state, system.grid_state, system.key,
+                system._host_step, system.layout, system._pool_mult,
+                system.chain_length, system._pool_demand,
+                system._pending_demand)
+        m = system.step_block()
+        loss = float(np.asarray(m["loss"]))
+        step_now = (i + 1) * nb
+        if step_now % 512 == 0:
+            tbl = np.asarray(system.state.params["hash_table"])
+            print(f"step {step_now:6d} loss {loss:.5f} "
+                  f"rm_s {float(np.asarray(m['rm_samples']))/8192:5.1f} "
+                  f"tbl_absmax {np.abs(tbl).max():9.2f} "
+                  f"S {system._pool_mult} {system.layout}", flush=True)
+        if not np.isfinite(loss):
+            print(f"*** non-finite loss in block ending at step {step_now}",
+                  flush=True)
+            break
+    else:
+        print("no NaN reproduced", flush=True)
+        return
+
+    # persist the pre-failure snapshot so later diagnosis can replay the
+    # failing block directly instead of retraining ~12k steps (~12 min of
+    # tunnel time per attempt)
+    import pickle
+
+    snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_nan_snap.pkl")
+    host_snap = jax.tree_util.tree_map(np.asarray, snap[:3]) + snap[3:]
+    with open(snap_path, "wb") as f:
+        pickle.dump({"snap": host_snap, "steps": steps, "epochs": epochs}, f)
+    print(f"pre-failure snapshot -> {snap_path}", flush=True)
+
+    replay_block(system, snap)
 
 
 if __name__ == "__main__":
