@@ -124,7 +124,11 @@ def main():
 
     snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "_nan_snap.pkl")
-    host_snap = jax.tree_util.tree_map(np.asarray, snap[:3]) + snap[3:]
+    # np.asarray over the WHOLE payload: _pending_demand (snap[8]) can be a
+    # live device array; pickling it ties the snapshot to this jax version.
+    # Strings/ints pass through tree_map as leaves unchanged.
+    host_snap = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, snap)
     with open(snap_path, "wb") as f:
         pickle.dump({"snap": host_snap, "steps": steps, "epochs": epochs}, f)
     print(f"pre-failure snapshot -> {snap_path}", flush=True)

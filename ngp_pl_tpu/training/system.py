@@ -321,8 +321,14 @@ class NeRFSystem:
             return
         import numpy as _np
 
+        # sanitize here so BOTH step paths (single-step, which passes a raw
+        # demand_vec, and the pre-sanitized block variant) share the guard:
+        # a NaN would make every _pick_bucket comparison False (falls to the
+        # largest bucket) and an inf would dominate the sticky demand
         (rm, chain_max, chain_q, rm_q, vr_q, vr_q90, vr_mean, alive_end,
-         rm_mean_pre) = (float(v) for v in _np.asarray(prev))
+         rm_mean_pre) = (
+             float(v) for v in _np.nan_to_num(
+                 _np.asarray(prev), posinf=0.0, neginf=0.0))
         # Budget + layout from the demand SHAPE (see self.layout).  Every
         # OCCUPIED sample needs gradient flow — truncating a ray's tail
         # leaves the volume behind it unsupervised (floaters on novel

@@ -212,9 +212,19 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
         updates, opt_state_new = optimizer.update(
             grads, state.opt_state, trainable)
-        opt_state = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(grads_finite, n, o),
-            opt_state_new, state.opt_state)
+        # On a skipped step revert the moment tensors but let the `count`
+        # leaves advance: the reference's CosineAnnealingLR is stepped per
+        # epoch by Lightning regardless of GradScaler skips, so under
+        # sustained skipping the lr must keep decaying (advisor r4). The
+        # count leaves of ScaleByAdamState / scale_by_schedule are finite
+        # integers regardless of grad content, so keeping `n` is safe.
+        def _keep_count(path, n, o):
+            if any(getattr(p, "name", None) == "count" for p in path):
+                return n
+            return jnp.where(grads_finite, n, o)
+
+        opt_state = jax.tree_util.tree_map_with_path(
+            _keep_count, opt_state_new, state.opt_state)
         updates = jax.tree_util.tree_map(
             lambda u: jnp.where(grads_finite, u, jnp.zeros_like(u)), updates)
         trainable = optax.apply_updates(trainable, updates)
@@ -228,6 +238,7 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
             "loss": loss,
             "psnr": psnr,
             "grads_finite": grads_finite,
+            "n_skipped": (~grads_finite).astype(jnp.int32),
             "rm_samples": aux["rm_samples"],
             "vr_samples": aux["vr_samples"],
             "rm_counts_max": aux["rm_counts_max"],
@@ -339,11 +350,18 @@ def make_train_step(ngp: NGP, tcfg: TrainConfig, rcfg: RenderConfig,
 
         state, ms = jax.lax.scan(one, state, None, length=n_steps)
         metrics = {k: v[-1] for k, v in ms.items()}
-        # nan_to_num: one non-finite step must not poison the block max that
-        # feeds the host's bucket controller
-        metrics["demand_vec"] = jnp.nan_to_num(ms["demand_vec"]).max(axis=0)
+        # nan_to_num with posinf/neginf=0: any non-finite step (NaN or inf)
+        # must contribute NOTHING to the block max that feeds the host's
+        # bucket controller (the default would map inf -> 3.4e38 and
+        # dominate the sticky demand for many decay intervals)
+        metrics["demand_vec"] = jnp.nan_to_num(
+            ms["demand_vec"], posinf=0.0, neginf=0.0).max(axis=0)
         metrics["rm_samples"] = ms["rm_samples"].max(axis=0)
         metrics["grads_finite"] = ms["grads_finite"].all()
+        # skip telemetry: how many of the block's steps were skipped by the
+        # non-finite gate — a sustained skip-storm is a silent training
+        # stall and must be visible to the host loop / logs
+        metrics["n_skipped"] = (~ms["grads_finite"]).sum().astype(jnp.int32)
         return state, metrics
 
     train_step.device_variant = train_step_device
