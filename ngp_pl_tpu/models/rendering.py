@@ -253,6 +253,8 @@ def render_rays_train_csr(
             dil_rows=dil_rows,
         )
     else:
+        # multi-cascade / exp-stepping: march_rays_train uses the 2-gather
+        # windowed chain (_occ_window_chain_mc) when win_rows is provided
         m = march_rays_train(
             jax.lax.stop_gradient(rays_o),
             jax.lax.stop_gradient(rays_d),
@@ -267,6 +269,7 @@ def render_rays_train_csr(
             pool_size=pool_size,
             chain_length=chain,
             occ_rows=occ_rows,
+            win_rows=win_rows,
         )
 
     ridx = jnp.clip(m.ray_idx, 0, N - 1)
@@ -349,8 +352,6 @@ def render_rays_train_rounds(
     S = n_samples
     hits_t = scene_hits(rays_o, rays_d, cfg.scale)
     t_end = hits_t[:, 1]
-    use_window = (win_rows is not None and cfg.cascades == 1
-                  and cfg.exp_step_factor == 0.0)
 
     # per-ray carried state (start jitter: reference raymarching.cu:195-198)
     t1 = hits_t[:, 0]
@@ -403,7 +404,7 @@ def render_rays_train_rounds(
             exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
             max_samples=rcfg.max_samples, n_samples=S,
             chain_length=chain_length, occ_rows=occ_rows,
-            win_rows=win_rows if use_window else None)
+            win_rows=win_rows)   # test-round march gates uniform/mc use
         valid = valid & sel[:, None]
         (ts, dts, valid) = jax.lax.optimization_barrier((ts, dts, valid))
 
@@ -618,7 +619,10 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
 
         ray_sharding = NamedSharding(mesh, P(mesh_axis))
         repl_sharding = NamedSharding(mesh, P())
-    window = use_window and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+    # callers gate eligibility (segment_march_dmax_ok for single-cascade
+    # uniform stepping, window_march_mc_ok for multi-cascade/exp) — the
+    # march itself picks the uniform 8-step or the 2-gather mc window chain
+    window = use_window
     thr = rcfg.test_t_threshold if t_threshold is None else t_threshold
     min_s = 1 if cfg.exp_step_factor == 0 else 4
     # (slots, n_samples, chain) buckets, largest first.  The biggest bucket

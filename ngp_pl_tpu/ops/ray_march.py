@@ -213,6 +213,9 @@ def march_rays_test_round(
 
     use_window = (win_rows is not None and exp_step_factor == 0.0
                   and cascades == 1 and K % SEGMENT_J == 0)
+    use_window_mc = (win_rows is not None and not use_window
+                     and (cascades > 1 or exp_step_factor > 0.0)
+                     and K % J_MC == 0)
     k = jnp.arange(K + 1, dtype=jnp.float32)[None, :]          # (1, K+1)
     ts_all = _chain_t(t_start[:, None], k, exp_step_factor, dt_min, dt_max)
     ts = ts_all[:, :K]                                         # (N, K)
@@ -224,6 +227,11 @@ def march_rays_test_round(
             rays_o, rays_d, t_start, K // SEGMENT_J, win_rows,
             scale=scale, grid_size=grid_size, dt_min=dt_min)
         occ = occ.reshape(N, K)
+    elif use_window_mc:
+        occ, _, _ = _occ_window_chain_mc(
+            rays_o, rays_d, t_start, K // J_MC, win_rows, cascades=cascades,
+            scale=scale, grid_size=grid_size,
+            exp_step_factor=exp_step_factor, dt_min=dt_min, dt_max=dt_max)
     else:
         xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
         mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
@@ -568,6 +576,115 @@ def march_rays_train_window(
     )
 
 
+J_MC = 4
+
+
+def _occ_window_chain_mc(rays_o, rays_d, t0, KA, win_rows, *, cascades,
+                         scale, grid_size, exp_step_factor, dt_min, dt_max):
+    """Occupancy bits for KA*J_MC chain steps under multi-cascade /
+    exponential stepping — TWO 64-byte window gathers per 4-step interval
+    instead of one z-line gather per step (2x fewer random accesses).
+
+    The single-cascade windowed march exploits dt_min << cell (8 steps per
+    window).  With exp stepping the reference's step size is COMPARABLE to
+    the cell of the dt-selected mip (raymarching.cu:28-32 picks the mip
+    where dt in [cell/2, cell)), so only ~4 steps fit one 8^3 window — and
+    the tested mip varies along the interval.  Design:
+
+      - per-step mip = max(mip_from_pos, mip_from_dt), closed-form (no
+        memory traffic; positions and dt come from the dt-chain closed form)
+      - per interval, gather one window at the interval's MIN mip and one
+        at its MAX mip, each anchored at the interval midpoint's 4^3 brick
+        in that mip's cell coordinates (win_rows is per-cascade)
+      - each step reads its bit from the window matching its own mip;
+        a step whose mip is strictly between min and max (possible only
+        when an interval straddles two mip boundaries at once — needs
+        |x| or t to double within 4 steps) is treated as OCCUPIED
+      - a step whose cell falls outside the gathered window (margin
+        violation: dt-bound steps near dt == cell with long directions)
+        is also treated as OCCUPIED
+
+    "Occupied" fallbacks are conservative: the sample is evaluated by the
+    field instead of skipped, costing one low-density sample — geometry is
+    never missed, unlike a silently-wrong bit.  Typical scenes (f=1/256,
+    G=128) have mip_from_pos ~2 mips above mip_from_dt, i.e. dt ~ cell/4,
+    so margins hold and the bits are exact (golden-tested superset in
+    tests/test_ray_march.py).
+
+    Reference: the per-step DDA mip logic of raymarching.cu:204-233.
+    """
+    N = rays_o.shape[0]
+    J = J_MC
+    G = grid_size
+    NW = G // WIN_B
+    f = exp_step_factor
+
+    kk = (jnp.arange(KA, dtype=jnp.float32)[:, None] * J
+          + jnp.arange(J, dtype=jnp.float32)[None, :])           # (KA, J)
+    ts = _chain_t(t0[:, None], kk.reshape(1, KA * J), f, dt_min,
+                  dt_max).reshape(N, KA, J)
+    dts = jnp.clip(ts * f, dt_min, dt_max)
+    xyz = rays_o[:, None, None, :] + ts[..., None] * rays_d[:, None, None, :]
+    mip = jnp.maximum(mip_from_pos(xyz, cascades),
+                      mip_from_dt(dts, G, cascades))             # (N, KA, J)
+    mip_lo = mip.min(axis=2)                                     # (N, KA)
+    mip_hi = mip.max(axis=2)
+    k_mid = (jnp.arange(KA, dtype=jnp.float32) * J
+             + 0.5 * (J - 1))[None, :]
+    t_mid = _chain_t(t0[:, None], k_mid, f, dt_min, dt_max)      # (N, KA)
+    xyz_mid = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+
+    def bits_at(m_sel):
+        bound = jnp.minimum(
+            jnp.exp2(m_sel.astype(jnp.float32) - 1.0), scale)    # (N, KA)
+        u_mid = (xyz_mid / bound[..., None] + 1.0) * 0.5 * G
+        n_mid = jnp.clip(u_mid, 0.0, G - 1.0).astype(jnp.int32)
+        w = n_mid >> 2                                           # (N, KA, 3)
+        widx = ((m_sel * NW + w[..., 0]) * NW + w[..., 1]) * NW + w[..., 2]
+        rows = win_rows[widx.reshape(-1)].reshape(N, KA, WIN_WORDS)
+        u = (xyz / bound[..., None, None] + 1.0) * 0.5 * G
+        n = jnp.clip(u, 0.0, G - 1.0).astype(jnp.int32)          # (N,KA,J,3)
+        local = n - ((w[:, :, None, :] << 2) - WIN_APRON)
+        inwin = jnp.all((local >= 0) & (local < WIN_P), axis=-1)
+        localc = jnp.clip(local, 0, WIN_P - 1)
+        bit = (localc[..., 0] * WIN_P + localc[..., 1]) * WIN_P \
+            + localc[..., 2]
+        word_idx = bit >> 5                                      # (N, KA, J)
+        word = jnp.zeros(bit.shape, jnp.uint32)
+        for wi in range(WIN_WORDS):
+            word = word | jnp.where(word_idx == wi, rows[:, :, wi:wi + 1],
+                                    jnp.uint32(0))
+        got = ((word >> (bit & 31).astype(jnp.uint32))
+               & jnp.uint32(1)) > 0
+        return jnp.where(inwin, got, True)       # out-of-window: occupied
+
+    occ_hi = bits_at(mip_hi)
+    occ_lo = bits_at(mip_lo)
+    occ = jnp.where(mip == mip_lo[..., None], occ_lo,
+                    jnp.where(mip == mip_hi[..., None], occ_hi, True))
+    return (occ.reshape(N, KA * J), ts.reshape(N, KA * J),
+            dts.reshape(N, KA * J))
+
+
+def window_march_mc_ok(directions, exp_step_factor: float,
+                       cascades: int) -> bool:
+    """Eligibility of the multi-cascade windowed march.
+
+    Margin violations degrade to conservative extra samples (never wrong
+    bits), so the gate only excludes regimes where fallbacks would be
+    pervasive: very aggressive exp factors (interval dt growth) or extreme
+    direction norms."""
+    import numpy as _np
+
+    if cascades <= 1 and exp_step_factor == 0.0:
+        return False                  # the uniform 8-step window path applies
+    if exp_step_factor > 1.0 / 64.0:
+        return False
+    d = _np.asarray(directions)
+    dmax = float(_np.sqrt((d * d).sum(axis=-1)).max())
+    return dmax <= 2.0
+
+
 def segment_march_dmax_ok(directions, grid_size: int = 128,
                           max_samples: int = 1024,
                           scale: float = 0.5) -> bool:
@@ -754,6 +871,7 @@ def march_rays_train(
     chain_length: int = 0,
     skip_empty_span: bool = True,
     occ_rows: jnp.ndarray | None = None,
+    win_rows: jnp.ndarray | None = None,
 ) -> MarchResults:
     """March all rays through occupied space into a flat sample pool.
 
@@ -790,16 +908,26 @@ def march_rays_train(
         chain_demand = None                 # derive from fine occupancy below
     t0 = t1s + calc_dt(t1s, exp_step_factor, max_samples, grid_size, scale) * noise
 
-    k = jnp.arange(K, dtype=jnp.float32)[None, :]              # (1, K)
-    ts = _chain_t(t0[:, None], k, exp_step_factor, dt_min, dt_max)  # (N, K)
-    dts = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
-    in_range = hit[:, None] & (ts >= 0) & (ts < t2s[:, None])
+    use_window_mc = (win_rows is not None
+                     and (cascades > 1 or exp_step_factor > 0.0)
+                     and K % J_MC == 0)
+    if use_window_mc:
+        occ, ts, dts = _occ_window_chain_mc(
+            rays_o, rays_d, t0, K // J_MC, win_rows, cascades=cascades,
+            scale=scale, grid_size=grid_size,
+            exp_step_factor=exp_step_factor, dt_min=dt_min, dt_max=dt_max)
+        in_range = hit[:, None] & (ts >= 0) & (ts < t2s[:, None])
+    else:
+        k = jnp.arange(K, dtype=jnp.float32)[None, :]          # (1, K)
+        ts = _chain_t(t0[:, None], k, exp_step_factor, dt_min, dt_max)
+        dts = jnp.clip(ts * exp_step_factor, dt_min, dt_max)
+        in_range = hit[:, None] & (ts >= 0) & (ts < t2s[:, None])
 
-    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]   # (N, K, 3)
-    mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
-    if occ_rows is None:
-        occ_rows = occupancy_lines(occ_grid)
-    occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
+        xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+        mip, n = _grid_coords(xyz, dts, cascades, scale, grid_size)
+        if occ_rows is None:
+            occ_rows = occupancy_lines(occ_grid)
+        occ = occupancy_at_lines(occ_rows, mip, n, grid_size)
     occ = occ & in_range                                       # (N, K)
 
     kk = jnp.arange(1, K + 1, dtype=jnp.int32)[None, :]
@@ -933,12 +1061,21 @@ def march_rays_train_strided(
 
     use_window = (win_rows is not None and exp_step_factor == 0.0
                   and cascades == 1 and K % SEGMENT_J == 0)
+    use_window_mc = (win_rows is not None and not use_window
+                     and (cascades > 1 or exp_step_factor > 0.0)
+                     and K % J_MC == 0)
     if use_window:
         occ, ts_all = _occ_window_chain(
             rays_o, rays_d, t0, K // SEGMENT_J, win_rows,
             scale=scale, grid_size=grid_size, dt_min=dt_min)
         occ = occ.reshape(N, K)
         ts_all = ts_all.reshape(N, K)
+        in_range = hit[:, None] & (ts_all >= 0) & (ts_all < t2[:, None])
+    elif use_window_mc:
+        occ, ts_all, _ = _occ_window_chain_mc(
+            rays_o, rays_d, t0, K // J_MC, win_rows, cascades=cascades,
+            scale=scale, grid_size=grid_size,
+            exp_step_factor=exp_step_factor, dt_min=dt_min, dt_max=dt_max)
         in_range = hit[:, None] & (ts_all >= 0) & (ts_all < t2[:, None])
     else:
         k = jnp.arange(K, dtype=jnp.float32)[None, :]

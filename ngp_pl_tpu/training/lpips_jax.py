@@ -133,3 +133,23 @@ def lpips(params, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
 def make_lpips_fn(params):
     f = jax.jit(lambda a, b: lpips(params, a, b))
     return f
+
+
+if __name__ == "__main__":
+    # Offline weight export (run where `pip install lpips torch` works):
+    #     python -m ngp_pl_tpu.training.lpips_jax export lpips_vgg.npz
+    # then set NGP_PL_TPU_LPIPS_NPZ=lpips_vgg.npz in the hermetic env.
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "export":
+        if export_from_torch_lpips(sys.argv[2]):
+            print(f"LPIPS-vgg weights -> {sys.argv[2]}")
+        else:
+            print("export failed: `lpips` / `torch` packages unavailable — "
+                  "run on a machine with `pip install lpips torch`")
+            sys.exit(1)
+    else:
+        print(__doc__)
+        print("usage: python -m ngp_pl_tpu.training.lpips_jax export "
+              "<out.npz>")
+        sys.exit(2)

@@ -433,3 +433,96 @@ def test_occupancy_windows_bits():
                 expect = int(occ[0, cx, cy, cz])
             got = (row[b // 32] >> (b % 32)) & 1
             assert got == expect, (wx, wy, wz, lx, ly, lz)
+
+
+def test_window_march_mc_superset():
+    """Multi-cascade windowed chain (_occ_window_chain_mc): occupancy bits
+    are a SUPERSET of the per-step z-line reference (conservative fallbacks
+    may add samples, never drop them), with bounded extras."""
+    from ngp_pl_tpu.ops.ray_march import (
+        J_MC,
+        SQRT3,
+        _grid_coords,
+        _occ_window_chain_mc,
+        occupancy_at_lines,
+        occupancy_lines,
+        occupancy_windows,
+    )
+
+    G = 32
+    cascades = 3
+    scale = 2.0
+    f = 1.0 / 256.0
+    max_samples = 256
+    dt_min = SQRT3 / max_samples
+    dt_max = SQRT3 * 2.0 * scale / G
+    rng = np.random.default_rng(7)
+    occ = (rng.random((cascades, G, G, G)) < 0.3).astype(np.uint8)
+    win_rows = occupancy_windows(jnp.asarray(occ))
+    occ_rows = occupancy_lines(jnp.asarray(occ))
+    N = 64
+    K = 256
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = ((rng.random((N, 3)) - 0.5) * 0.4).astype(np.float32)
+    t0 = (0.05 + rng.random(N) * 0.3).astype(np.float32)
+
+    occ_mc, ts, dts = _occ_window_chain_mc(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(t0), K // J_MC,
+        win_rows, cascades=cascades, scale=scale, grid_size=G,
+        exp_step_factor=f, dt_min=dt_min, dt_max=dt_max)
+    xyz = rays_o[:, None, :] + np.asarray(ts)[..., None] * d[:, None, :]
+    mip, n = _grid_coords(jnp.asarray(xyz), jnp.asarray(dts),
+                          cascades, scale, G)
+    occ_ref = occupancy_at_lines(occ_rows, mip, n, G)
+    inbox = np.all(np.abs(xyz) < scale, axis=-1)
+    mc = np.asarray(occ_mc) & inbox
+    ref = np.asarray(occ_ref) & inbox
+    assert not np.any(ref & ~mc), "mc window chain missed occupied samples"
+    extras = (mc & ~ref).sum() / max(ref.sum(), 1)
+    assert extras < 0.25, f"too many conservative extras: {extras:.3f}"
+
+
+def test_march_mc_window_pool_matches_reference():
+    """march_rays_train with win_rows (mc window path) produces the same
+    sample pool as the z-line path on a typical multi-cascade setup (pos-mip
+    dominated: margins hold, zero conservative fallbacks)."""
+    from ngp_pl_tpu.ops.ray_march import occupancy_windows
+
+    G = 32
+    cascades = 3
+    scale = 2.0
+    f = 1.0 / 256.0
+    rng = np.random.default_rng(19)
+    occ = (rng.random((cascades, G, G, G)) < 0.25).astype(np.uint8)
+    win_rows = occupancy_windows(jnp.asarray(occ))
+    N = 48
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = np.tile(np.float32([[0.05, -0.1, -3.0]]), (N, 1))
+    inv = 1.0 / d
+    lo = (-scale - rays_o) * inv
+    hi = (scale - rays_o) * inv
+    t1 = np.minimum(lo, hi).max(1)
+    t2 = np.maximum(lo, hi).min(1)
+    ok = (t1 <= t2) & (t2 > 0)
+    hits = np.where(ok[:, None], np.stack([np.maximum(t1, 0.01), t2], -1),
+                    -np.ones((N, 2), np.float32)).astype(np.float32)
+    noise = rng.random(N).astype(np.float32)
+    kw = dict(cascades=cascades, scale=scale, exp_step_factor=f,
+              grid_size=G, max_samples=512, pool_size=N * 64,
+              chain_length=1024, skip_empty_span=False)
+    m_ref = march_rays_train(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+        jnp.asarray(occ), jnp.asarray(noise), **kw)
+    m_mc = march_rays_train(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.asarray(hits),
+        jnp.asarray(occ), jnp.asarray(noise), win_rows=win_rows, **kw)
+    assert int(m_mc.total) == int(m_ref.total)
+    np.testing.assert_array_equal(np.asarray(m_mc.counts),
+                                  np.asarray(m_ref.counts))
+    tot = int(m_ref.total)
+    np.testing.assert_allclose(np.asarray(m_mc.ts[:tot]),
+                               np.asarray(m_ref.ts[:tot]), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_mc.ray_idx[:tot]),
+                                  np.asarray(m_ref.ray_idx[:tot]))
