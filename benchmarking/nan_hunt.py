@@ -61,10 +61,16 @@ def replay_block(system, snap):
     print("replaying the failing block step-by-step...", flush=True)
     for j in range(nb):
         before = system.state
+        key_before = system.key if j > 0 else None
         m = system.step()
+        if key_before is None:
+            key_before = system.key   # step 0 split the key for grid update
         loss = float(np.asarray(m["loss"]))
         print(f"  step {system._host_step}: loss {loss:.6f}", flush=True)
         if not np.isfinite(loss):
+            from nan_probe import probe
+
+            probe(system, before, key_before)
             print("  first bad step found; param stats BEFORE:", flush=True)
             for k, mx, nn, ni in leaf_stats(before.params, "params"):
                 flag = " <== " if (nn or ni) else ""

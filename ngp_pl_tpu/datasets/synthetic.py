@@ -68,23 +68,31 @@ def _lookat_pose(cam_pos: np.ndarray) -> np.ndarray:
 _GT_CACHE = {}
 
 
-def _jax_gt_renderer(n_steps, t_near, t_far):
-    """Jitted exact renderer of the analytic field (scan over depth)."""
+def _jax_gt_renderer(n_steps, t_near, t_far, world_scale=1.0):
+    """Jitted exact renderer of the analytic field (scan over depth).
+
+    world_scale ws scales the scene geometrically (centers, radii, edge
+    widths x ws) with sigma / ws so optical depths — and therefore the
+    rendered images — are invariant: the SAME scene at ws=4 spans
+    [-1.6, 1.6]^3 and exercises the multi-cascade / exp-stepping render
+    paths (reference scale>0.5 recipes, benchmark_mipnerf360.sh)."""
     import jax
     import jax.numpy as jnp
 
-    centers = jnp.asarray(np.stack([s[0] for s in _SPHERES]), jnp.float32)
-    radii = jnp.asarray([s[1] for s in _SPHERES], jnp.float32)
+    ws = float(world_scale)
+    centers = jnp.asarray(np.stack([s[0] for s in _SPHERES]), jnp.float32) * ws
+    radii = jnp.asarray([s[1] for s in _SPHERES], jnp.float32) * ws
     colors = jnp.asarray(np.stack([s[2] for s in _SPHERES]), jnp.float32)
     ts = jnp.linspace(t_near, t_far, n_steps, dtype=jnp.float32)
     dt = float(ts[1] - ts[0])
 
     def jfield(xyz):
         d = jnp.linalg.norm(xyz[:, None, :] - centers[None], axis=-1)
-        outer = jnp.clip((radii[None] - d) / _EDGE, 0.0, 1.0)   # (N, S)
-        inner = jnp.clip((d - (radii[None] - _THICK)) / _EDGE, 0.0, 1.0)
+        outer = jnp.clip((radii[None] - d) / (_EDGE * ws), 0.0, 1.0)  # (N, S)
+        inner = jnp.clip((d - (radii[None] - _THICK * ws)) / (_EDGE * ws),
+                         0.0, 1.0)
         inside = outer * inner
-        sigma = _DENSITY * inside.max(axis=1)
+        sigma = (_DENSITY / ws) * inside.max(axis=1)
         best = jnp.argmax(inside, axis=1)
         rgb = jnp.where(inside.max(axis=1)[:, None] > 0,
                         colors[best], 1.0)
@@ -108,16 +116,18 @@ def _jax_gt_renderer(n_steps, t_near, t_far):
     return render
 
 
-def render_gt(rays_o, rays_d, n_steps=384, t_near=0.6, t_far=2.6):
+def render_gt(rays_o, rays_d, n_steps=384, t_near=0.6, t_far=2.6,
+              world_scale=1.0):
     """Exact dense volume render of the analytic field (white background).
 
     Host-side data prep: pinned to the CPU backend so it never pays a remote
     TPU compile."""
     import jax
 
-    key = (n_steps, t_near, t_far)
+    key = (n_steps, t_near, t_far, world_scale)
     if key not in _GT_CACHE:
-        _GT_CACHE[key] = _jax_gt_renderer(n_steps, t_near, t_far)
+        _GT_CACHE[key] = _jax_gt_renderer(n_steps, t_near, t_far,
+                                          world_scale)
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -142,13 +152,15 @@ class SyntheticDataset(BaseDataset):
     """Hermetic procedural dataset in the BaseDataset contract."""
 
     def __init__(self, root_dir="", split="train", downsample=1.0,
-                 img_size=128, n_train=24, n_test=4, seed=0, **kwargs):
+                 img_size=128, n_train=24, n_test=4, seed=0,
+                 world_scale=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
         w = h = int(img_size * downsample)
         f = 1.2 * w
         self.K = np.float32([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
         self.img_wh = (w, h)
         self.directions = get_ray_directions(h, w, self.K)
+        self.world_scale = float(world_scale)
 
         rng = np.random.default_rng(seed if split.startswith("train") else seed + 1)
         n = n_train if split.startswith("train") else n_test
@@ -156,7 +168,7 @@ class SyntheticDataset(BaseDataset):
         for i in range(n):
             theta = 2 * np.pi * i / n + rng.uniform(0, 0.1)
             phi = np.deg2rad(rng.uniform(-55, -15))
-            cam = 1.5 * np.array([
+            cam = 1.5 * self.world_scale * np.array([
                 np.cos(theta) * np.cos(phi),
                 np.sin(theta) * np.cos(phi),
                 -np.sin(phi),
@@ -169,6 +181,9 @@ class SyntheticDataset(BaseDataset):
             for pose in self.poses:
                 rd = self.directions @ pose[:, :3].T
                 ro = np.broadcast_to(pose[:, 3], rd.shape)
-                rgb, _, _ = render_gt(ro, rd)
+                rgb, _, _ = render_gt(
+                    ro, rd, t_near=0.6 * self.world_scale,
+                    t_far=2.6 * self.world_scale,
+                    world_scale=self.world_scale)
                 rays.append(rgb)
             self.rays = np.stack(rays).astype(np.float32)

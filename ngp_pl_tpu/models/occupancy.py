@@ -207,6 +207,13 @@ def make_update_density_grid(ngp, cfg: NGPConfig, chunk: int = 2 ** 18):
             noise = jax.random.uniform(k_noise, pos.shape, minval=-1.0,
                                        maxval=1.0) * half
             sigma = density_chunked(params, pos + noise)
+            # Failure containment (r5): a single NaN density poisons the EMA
+            # permanently (max(grid*decay, NaN) == NaN) and a NaN
+            # mean_density makes `new_grid > thr` all-False — the ENTIRE
+            # occupancy grid empties and training silently collapses (the
+            # 30k-run quality decay).  NaN -> 0 (keep the EMA's old value);
+            # +inf -> 1e10 (the cell IS dense).
+            sigma = jnp.nan_to_num(sigma, nan=0.0, posinf=1e10, neginf=0.0)
             tmp_phase.append(sigma)
 
         if warmup:

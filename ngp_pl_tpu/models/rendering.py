@@ -611,7 +611,11 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     alive-compaction/bucket choice.
     """
     cfg = ngp.cfg
-    from ngp_pl_tpu.ops.ray_march import occupancy_lines, occupancy_windows
+    from ngp_pl_tpu.ops.ray_march import (
+        occupancy_lines,
+        occupancy_windows,
+        occupied_span,
+    )
 
     ray_sharding = repl_sharding = None
     if mesh is not None:
@@ -650,6 +654,8 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         if tail not in buckets:
             buckets.append(tail)
 
+    use_span = cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+
     @jax.jit
     def _render_chunk(params, occ_grid, rays_o, rays_d):
         N = rays_o.shape[0]
@@ -657,17 +663,38 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         occ_rows = None if window else occupancy_lines(occ_grid)
         win_rows = occupancy_windows(occ_grid) if window else None
 
+        if use_span:
+            # per-ray occupied-span pre-pass (~114 gathers from a 4 KB
+            # dilated super-grid): rays whose span is EMPTY never enter a
+            # round (the majority of an 800^2 frame is background), and
+            # every survivor starts AT its first occupied region instead of
+            # marching the leading empty space round by round.  This is
+            # what the reference's per-thread DDA gets implicitly
+            # (raymarching.cu:225-233 skips empty cells inside the kernel);
+            # round-structured marching pays empty space per ROUND without
+            # it.  Measured r5: 0.21 -> 1.0+ FPS at 800^2.
+            t1s, t2s, span_steps = occupied_span(
+                rays_o, rays_d, hits[:, 0], hits[:, 1], occ_grid,
+                scale=cfg.scale, grid_size=cfg.grid_size,
+                dt_min=float(SQRT3) / rcfg.max_samples)
+            t_start = t1s
+            t_end = t2s
+            alive0 = (hits[:, 0] >= 0) & (span_steps > 0)
+        else:
+            t_start = hits[:, 0]
+            t_end = hits[:, 1]
+            alive0 = hits[:, 0] >= 0
+
         init = dict(
-            t_cur=hits[:, 0],
+            t_cur=t_start,
             opacity=jnp.zeros((N,), jnp.float32),
             depth=jnp.zeros((N,), jnp.float32),
             rgb=jnp.zeros((N, 3), jnp.float32),
-            alive=hits[:, 0] >= 0,
+            alive=alive0,
             samples=jnp.zeros((N,), jnp.int32),
             total=jnp.zeros((), jnp.int32),
             rounds=jnp.zeros((), jnp.int32),
         )
-        t_end = hits[:, 1]
 
         def cond(c):
             return c["alive"].any() & (c["rounds"] < max_rounds)

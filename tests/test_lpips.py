@@ -66,3 +66,27 @@ def test_npz_weight_injection(tmp_path, params, monkeypatch):
     assert hook.available
     val = hook(np.asarray(img), np.clip(np.asarray(img) + 0.1, 0, 1))
     assert val is not None and val > 0
+
+
+def test_eval_lpips_without_weights_fails_loudly(monkeypatch, tmp_path):
+    """--eval_lpips with no weights available must raise with instructions,
+    not silently skip the metric (reference always scores LPIPS-vgg,
+    train.py:27-31)."""
+    import pytest
+
+    from ngp_pl_tpu.config import TrainConfig
+    from ngp_pl_tpu.datasets.synthetic import SyntheticDataset
+    from ngp_pl_tpu.training.system import NeRFSystem
+
+    monkeypatch.delenv("NGP_PL_TPU_LPIPS_NPZ", raising=False)
+    tcfg = TrainConfig(dataset_name="synthetic", batch_size=64,
+                       exp_name="lpips_loud", no_save_test=True,
+                       eval_lpips=True)
+    ds = SyntheticDataset(split="train", img_size=16, n_train=2)
+    ts = SyntheticDataset(split="test", img_size=16, n_test=1)
+    system = NeRFSystem(tcfg, train_dataset=ds, test_dataset=ts)
+    # force the no-weights state regardless of any ambient cache
+    system.lpips._tried = True
+    system.lpips._fn = None
+    with pytest.raises(RuntimeError, match="NGP_PL_TPU_LPIPS_NPZ"):
+        system.validate(save_images=False)
