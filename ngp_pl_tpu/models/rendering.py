@@ -657,33 +657,35 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
     use_span = cfg.cascades == 1 and cfg.exp_step_factor == 0.0
 
     @jax.jit
-    def _render_chunk(params, occ_grid, rays_o, rays_d):
-        N = rays_o.shape[0]
+    def _span_pass(occ_grid, rays_o, rays_d):
+        """Whole-frame occupied-span pre-pass (~114 gathers/ray from a 4 KB
+        dilated super-grid).  Rays with an empty span — the majority of an
+        800^2 frame — are culled before ANY round; survivors get tight
+        [t_start, t_end) bounds at their occupied region.  The reference's
+        per-thread DDA gets this implicitly (raymarching.cu:225-233 skips
+        empty cells in-kernel); round-structured marching would otherwise
+        pay the empty space per ROUND.  Measured r5: the dominant share of
+        the 0.21 FPS frame cost at 800^2."""
         hits = scene_hits(rays_o, rays_d, cfg.scale)
+        t1s, t2s, span_steps = occupied_span(
+            rays_o, rays_d, hits[:, 0], hits[:, 1], occ_grid,
+            scale=cfg.scale, grid_size=cfg.grid_size,
+            dt_min=float(SQRT3) / rcfg.max_samples)
+        alive = (hits[:, 0] >= 0) & (span_steps > 0)
+        return t1s, t2s, alive
+
+    @jax.jit
+    def _render_chunk(params, occ_grid, rays_o, rays_d,
+                      t_start=None, t_end=None):
+        N = rays_o.shape[0]
         occ_rows = None if window else occupancy_lines(occ_grid)
         win_rows = occupancy_windows(occ_grid) if window else None
 
-        if use_span:
-            # per-ray occupied-span pre-pass (~114 gathers from a 4 KB
-            # dilated super-grid): rays whose span is EMPTY never enter a
-            # round (the majority of an 800^2 frame is background), and
-            # every survivor starts AT its first occupied region instead of
-            # marching the leading empty space round by round.  This is
-            # what the reference's per-thread DDA gets implicitly
-            # (raymarching.cu:225-233 skips empty cells inside the kernel);
-            # round-structured marching pays empty space per ROUND without
-            # it.  Measured r5: 0.21 -> 1.0+ FPS at 800^2.
-            t1s, t2s, span_steps = occupied_span(
-                rays_o, rays_d, hits[:, 0], hits[:, 1], occ_grid,
-                scale=cfg.scale, grid_size=cfg.grid_size,
-                dt_min=float(SQRT3) / rcfg.max_samples)
-            t_start = t1s
-            t_end = t2s
-            alive0 = (hits[:, 0] >= 0) & (span_steps > 0)
-        else:
+        if t_start is None:
+            hits = scene_hits(rays_o, rays_d, cfg.scale)
             t_start = hits[:, 0]
             t_end = hits[:, 1]
-            alive0 = hits[:, 0] >= 0
+        alive0 = t_start >= 0
 
         init = dict(
             t_cur=t_start,
@@ -780,6 +782,77 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         if bg_color is None:
             bg_color = 1.0 if cfg.exp_step_factor == 0 else 0.0
         N = rays_o.shape[0]
+        if ray_sharding is not None:
+            params = jax.device_put(params, repl_sharding)
+            occ_grid = jax.device_put(occ_grid, repl_sharding)
+
+        def put(a):
+            return (jax.device_put(a, ray_sharding)
+                    if ray_sharding is not None else a)
+
+        rays_o = np.asarray(rays_o, np.float32)
+        rays_d = np.asarray(rays_d, np.float32)
+
+        if use_span:
+            # frame-level span pass + HOST alive compaction: the number of
+            # round-loop launches scales with the rays that actually have
+            # occupied content, not the frame area (the reference keeps the
+            # same alive_indices compaction on device, rendering.py:105)
+            t1_parts, t2_parts, alive_parts = [], [], []
+            for i in range(0, N, chunk):
+                ro = jnp.asarray(rays_o[i:i + chunk])
+                rd = jnp.asarray(rays_d[i:i + chunk])
+                pad = chunk - ro.shape[0]
+                if pad:
+                    ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+                    rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                t1s, t2s, alive = _span_pass(occ_grid, put(ro), put(rd))
+                n = min(chunk, N - i)
+                t1_parts.append(np.asarray(t1s[:n]))
+                t2_parts.append(np.asarray(t2s[:n]))
+                alive_parts.append(np.asarray(alive[:n]))
+            t1_all = np.concatenate(t1_parts)
+            t2_all = np.concatenate(t2_parts)
+            alive_all = np.concatenate(alive_parts)
+            idx = np.nonzero(alive_all)[0]
+
+            rgb = np.zeros((N, 3), np.float32)
+            depth = np.zeros((N,), np.float32)
+            opacity = np.zeros((N,), np.float32)
+            total = 0
+            total_rounds = 0
+            for i in range(0, len(idx), chunk):
+                sel = idx[i:i + chunk]
+                pad = chunk - len(sel)
+                ro = rays_o[sel]
+                rd = rays_d[sel]
+                ts = t1_all[sel]
+                te = t2_all[sel]
+                if pad:
+                    ro = np.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+                    rd = np.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                    ts = np.pad(ts, (0, pad), constant_values=-1.0)  # dead
+                    te = np.pad(te, (0, pad), constant_values=-1.0)
+                r, d, o, ns, rnds = _render_chunk(
+                    params, occ_grid, put(jnp.asarray(ro)),
+                    put(jnp.asarray(rd)), put(jnp.asarray(ts)),
+                    put(jnp.asarray(te)))
+                n = len(sel)
+                rgb[sel] = np.asarray(r[:n])
+                depth[sel] = np.asarray(d[:n])
+                opacity[sel] = np.asarray(o[:n])
+                total += int(ns)
+                total_rounds += int(rnds)
+            rgb = rgb + np.asarray(bg_color) * (1.0 - opacity[:, None])
+            return {
+                "rgb": rgb,
+                "depth": depth,
+                "opacity": opacity,
+                "total_samples": total,
+                "rounds": total_rounds,
+                "alive_rays": int(len(idx)),
+            }
+
         rgbs, depths, opacities = [], [], []
         total = 0
         total_rounds = 0
@@ -790,13 +863,8 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             if pad:
                 ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            if ray_sharding is not None:
-                ro = jax.device_put(ro, ray_sharding)
-                rd = jax.device_put(rd, ray_sharding)
-                params = jax.device_put(params, repl_sharding)
-                occ_grid = jax.device_put(occ_grid, repl_sharding)
             rgb, depth, opa, ns, rnds = _render_chunk(params, occ_grid,
-                                                      ro, rd)
+                                                      put(ro), put(rd))
             n = min(chunk, N - i)
             rgbs.append(np.asarray(rgb[:n]))
             depths.append(np.asarray(depth[:n]))
