@@ -414,7 +414,9 @@ def render_rays_train_rounds(
             exposure=exposure[idx] if exposure is not None else None)
 
         # differentiable incremental compositing (lane-axis over S)
-        sd = jnp.where(valid, sigmas * dts, 0.0)
+        from ngp_pl_tpu.ops.volume_render import SD_CLAMP
+
+        sd = jnp.where(valid, jnp.minimum(sigmas * dts, SD_CLAMP), 0.0)
         excl = jnp.cumsum(sd, axis=1) - sd
         T0 = T[idx]
         T_s = T0[:, None] * jnp.exp(-excl)

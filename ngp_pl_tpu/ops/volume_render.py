@@ -25,6 +25,24 @@ import jax
 import jax.numpy as jnp
 
 
+# Per-sample optical-depth ceiling.  alpha = 1 - exp(-25) rounds to exactly
+# 1.0 in f32 and T after such a sample (< 1.4e-11) is below every
+# threshold, so the clamp is semantically free — while bounding the global
+# prefix sum the CSR compositor differences (below) to ~25 * pool_size.
+# Root-caused r5 (benchmarking/nan_hunt_r5.log): late-training density
+# runaway (expected NeRF MLE behavior on a memorized scene) produced
+# finite sigma*delta ~ 1e10 per sample; the global cumsum then reached
+# ~1e13 where f32 cancellation in (excl - seg_base) flipped local optical
+# depths NEGATIVE by ~1e6 -> exp(+1e6) = inf -> NaN loss at step ~12.2k of
+# every 30k run.  The clamp also ZEROES the d_sigma gradient of saturated
+# samples — removing the unbounded-MLE driving force itself (the reference
+# reaches the same endpoint through fp16 saturation + GradScaler skips).
+SD_CLAMP = 25.0
+# Segment optical depths are mathematically >= 0; clip defends the exp
+# against any residual cancellation (T floor e^-88 ~ 6e-39, harmless).
+_EXCL_MAX = 88.0
+
+
 def segment_excl_cumsum(x: jnp.ndarray, offsets: jnp.ndarray,
                         ray_idx: jnp.ndarray) -> jnp.ndarray:
     """Exclusive cumsum within contiguous segments of a flat pool.
@@ -37,7 +55,7 @@ def segment_excl_cumsum(x: jnp.ndarray, offsets: jnp.ndarray,
     excl = c - x
     seg_base = excl[jnp.clip(offsets, 0, x.shape[0] - 1)]     # (N_rays,)
     ridx = jnp.clip(ray_idx, 0, offsets.shape[0] - 1)
-    return excl - seg_base[ridx]
+    return jnp.clip(excl - seg_base[ridx], 0.0, _EXCL_MAX)
 
 
 def composite_train(
@@ -54,7 +72,7 @@ def composite_train(
     """Returns rgb/depth/opacity per ray + per-sample weights `ws` and the
     per-ray effective (post-early-stop) sample count `vr_samples`."""
     vmask = valid
-    sd = jnp.where(vmask, sigmas * deltas, 0.0)
+    sd = jnp.where(vmask, jnp.minimum(sigmas * deltas, SD_CLAMP), 0.0)
     excl = segment_excl_cumsum(sd, offsets, ray_idx)
     T = jnp.exp(-excl)                                        # transmittance before s
     alpha = 1.0 - jnp.exp(-sd)
@@ -97,7 +115,7 @@ def composite_train_strided(
     (3, N, S): a (P, 3) sample-major array would be lane-padded to (P, 128)
     in HBM — a 42x read amplification.  Autodiff of this graph reproduces
     the reference's hand-written backward (volumerendering.cu:87-202)."""
-    sd = jnp.where(valid, sigmas * deltas, 0.0)
+    sd = jnp.where(valid, jnp.minimum(sigmas * deltas, SD_CLAMP), 0.0)
     excl = jnp.cumsum(sd, axis=1) - sd
     T = jnp.exp(-excl)
     alpha = 1.0 - jnp.exp(-sd)
@@ -128,7 +146,8 @@ def composite_test_round(
     (reference volumerendering.cu:205-285): resumes at T = 1 - opacity,
     accumulates this round's samples, and kills converged / no-hit rays.
     Returns updated (opacity, depth, rgb, alive)."""
-    sd = jnp.where(sample_valid & alive[:, None], sigmas * deltas, 0.0)
+    sd = jnp.where(sample_valid & alive[:, None],
+                   jnp.minimum(sigmas * deltas, SD_CLAMP), 0.0)
     excl = jnp.cumsum(sd, axis=1) - sd
     T0 = (1.0 - opacity)[:, None]
     T = T0 * jnp.exp(-excl)

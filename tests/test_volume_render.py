@@ -138,3 +138,39 @@ def test_composite_test_round_incremental():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(co), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_runaway_density_stays_finite():
+    """Regression for the r5 root cause: finite-but-huge sigma*delta
+    (density runaway at late training) used to drive the CSR compositor's
+    global prefix sum to ~1e13, where f32 cancellation in the segment
+    difference produced NEGATIVE optical depths -> exp(+huge) = inf ->
+    NaN loss (every 30k run died at ~step 12.2k).  With the SD_CLAMP +
+    clipped segment depths, outputs and gradients stay finite and opaque
+    rays render opacity == 1."""
+    from ngp_pl_tpu.ops.volume_render import composite_train
+
+    n_rays, per = 64, 512
+    P = n_rays * per
+    rng = np.random.default_rng(0)
+    # every sample ultra-opaque: sigma ~ e^24, delta ~ 1.7e-3 -> sd ~ 4.5e7
+    sigmas = jnp.asarray(
+        np.full(P, 2.6e10, np.float32) * (0.5 + rng.random(P)))
+    rgbs = jnp.asarray(rng.random((P, 3)).astype(np.float32))
+    deltas = jnp.full((P,), 1.7e-3, jnp.float32)
+    ts = jnp.asarray(np.tile(np.linspace(0.1, 1.0, per), n_rays)
+                     .astype(np.float32))
+    ray_idx = jnp.asarray(np.repeat(np.arange(n_rays), per).astype(np.int32))
+    valid = jnp.ones((P,), bool)
+    offsets = jnp.asarray((np.arange(n_rays) * per).astype(np.int32))
+
+    def loss(sigmas):
+        out = composite_train(sigmas, rgbs, deltas, ts, ray_idx, valid,
+                              offsets, n_rays=n_rays)
+        return ((out["rgb"] - 0.5) ** 2).mean(), out
+
+    (l, out), g = jax.value_and_grad(loss, has_aux=True)(sigmas)
+    assert np.isfinite(float(l))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(out["opacity"]), 1.0, atol=1e-5)
