@@ -72,14 +72,27 @@ def main():
     nb = tcfg.grid_update_interval
     assert steps % nb == 0 and system.rays_device is not None
 
+    # stall insurance: the remote tunnel can deadlock mid-run (see
+    # .claude/skills/verify: "tunnel stall mode"); checkpoint every 4096
+    # steps so a kill+restart resumes instead of retraining from zero
+    ck = os.path.join("ckpts", "synthetic", f"full_run_{tag}", "resume.npz")
+    start_step = 0
+    if os.path.exists(ck):
+        system.load(ck)
+        start_step = system._host_step
+        print(f"resuming from {ck} at step {start_step}", flush=True)
+
     # exact skip accounting with zero pipeline stalls: keep each block's
     # device scalar and sum after training (one sync at the end)
     skip_counters = []
     t0 = time.time()
-    for i in range(steps // nb):
+    for i in range(start_step // nb, steps // nb):
         m = system.step_block()
         skip_counters.append(m["n_skipped"])
         step_now = (i + 1) * nb
+        if step_now % 4096 == 0 and step_now < steps:
+            os.makedirs(os.path.dirname(ck), exist_ok=True)
+            system.save(ck)
         if step_now % 1024 == 0 or step_now == steps:
             loss = float(np.asarray(m["loss"]))
             tbl = np.asarray(system.state.params["hash_table"])
@@ -92,17 +105,19 @@ def main():
                 print("*** non-finite loss — aborting run", flush=True)
                 break
     wall = time.time() - t0
+    steps_run = steps - start_step
     n_skipped_total = int(sum(int(np.asarray(c)) for c in skip_counters))
     print(f"skipped steps (non-finite grads): {n_skipped_total}", flush=True)
-    print(f"training done: {steps} steps in {wall:.1f}s "
-          f"({8192*steps/wall:.0f} rays/s incl. compile)", flush=True)
+    print(f"training done: {steps_run} steps in {wall:.1f}s "
+          f"({8192*steps_run/wall:.0f} rays/s incl. compile)", flush=True)
 
     scores = system.validate(save_images=False)
     rec = {
         "tag": tag, "steps": steps,
         "geometry": f"L{n_levels}F{n_features}T{log2_t}",
         "wall_s": round(wall, 1),
-        "rays_per_s_incl_compile": round(8192 * steps / wall),
+        "steps_run": steps_run,
+        "rays_per_s_incl_compile": round(8192 * steps_run / wall),
         "psnr": round(scores.get("psnr", float("nan")), 3),
         "ssim": round(scores.get("ssim", float("nan")), 4),
         "n_skipped": n_skipped_total,

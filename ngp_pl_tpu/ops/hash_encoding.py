@@ -568,13 +568,38 @@ def _encode_mlp_pl_bwd(spec, bn, res, g):
                                    F=spec.n_features, bn=bn)
 
     # per-level scatter-adds (each target slice stays small — fast path);
-    # d_rows arrive bf16 and accumulate into the f32 table gradient
+    # d_rows arrive bf16 and accumulate into the f32 table gradient.
+    # NGP_SCATTER=pallas swaps in the Pallas reductions (scatter_accum /
+    # one-hot MXU for dense levels) for on-chip A/B — see
+    # benchmarking/micro_scatter2.py and PERF.md r5.
+    import os as _os
+
+    use_pallas_scatter = (
+        _os.environ.get("NGP_SCATTER") == "pallas" and W == 128
+        and jax.default_backend() != "cpu")
     parts = []
     for l in range(L):
-        parts.append(
-            jnp.zeros((spec.sizes[l], W), jnp.float32)
-            .at[slot[l] - spec.offsets[l]].add(
-                d_rows[l].astype(jnp.float32)))
+        idx_l = slot[l] - spec.offsets[l]
+        if use_pallas_scatter:
+            from ngp_pl_tpu.ops.scatter_accum import (
+                scatter_accum,
+                scatter_onehot,
+            )
+
+            R = spec.sizes[l]
+            Rp = -(-R // 8) * 8
+            if R <= 4096:
+                # bf16 one-hot is lossless here: d_rows are ALREADY bf16
+                p = scatter_onehot(d_rows[l].astype(jnp.float32), idx_l,
+                                   n_rows=Rp, exact=False)[:R]
+            else:
+                p = scatter_accum(d_rows[l].astype(jnp.float32), idx_l,
+                                  n_rows=Rp)[:R]
+            parts.append(p)
+        else:
+            parts.append(
+                jnp.zeros((spec.sizes[l], W), jnp.float32)
+                .at[idx_l].add(d_rows[l].astype(jnp.float32)))
     d_table = jnp.concatenate(parts, axis=0)
     d_x = jnp.zeros((N, 3), jnp.float32)
     return d_x, d_table, d_w1

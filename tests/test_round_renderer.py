@@ -101,3 +101,39 @@ def test_device_round_renderer_empty_scene():
     out = dev(params, occ_grid, rays_o, rays_d)
     np.testing.assert_allclose(out["opacity"], 0.0, atol=1e-6)
     np.testing.assert_allclose(out["rgb"], 1.0, atol=1e-6)
+
+
+def test_device_round_multicascade_matches_single_pass():
+    """Device-round renderer on a cascades>1 / exp-stepping scene (windowed
+    mc march) must match the one-shot z-line test renderer."""
+    from ngp_pl_tpu.models.rendering import make_device_round_renderer
+
+    cfg = NGPConfig(scale=2.0, n_levels=4, log2_hashmap_size=12,
+                    grid_size=32)   # scale>0.5 -> exp_step_factor=1/256
+    rcfg = RenderConfig(max_samples=256)
+    assert cfg.cascades == 3
+    ngp = NGP(cfg)
+    params = ngp.init(jax.random.PRNGKey(0))
+    params["hash_table"] = params["hash_table"] * 1e3
+
+    occ = np.zeros((3, 32, 32, 32), np.uint8)
+    occ[0, 8:24, 8:24, 8:24] = 1
+    occ[1, 12:20, 12:20, 12:20] = 1
+    occ[2, 10:22, 10:22, 14:18] = 1
+    occ_grid = jnp.asarray(occ)
+
+    N = 128
+    key = jax.random.PRNGKey(1)
+    d = (jax.random.normal(key, (N, 3)) * jnp.asarray([[0.3, 0.3, 0.1]])
+         + jnp.asarray([[0.0, 0.0, 1.0]]))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.tile(jnp.asarray([[0.1, -0.05, -5.0]]), (N, 1))
+
+    single = make_test_renderer(ngp, rcfg, chunk=N, pool_mult=256)
+    dev = make_device_round_renderer(ngp, rcfg, chunk=N, use_window=True)
+
+    out_a = single(params, occ_grid, np.asarray(rays_o), np.asarray(rays_d))
+    out_b = dev(params, occ_grid, np.asarray(rays_o), np.asarray(rays_d))
+    np.testing.assert_allclose(out_b["opacity"], out_a["opacity"], atol=3e-3)
+    np.testing.assert_allclose(out_b["rgb"], out_a["rgb"], atol=3e-3)
+    np.testing.assert_allclose(out_b["depth"], out_a["depth"], atol=1e-2)
