@@ -55,8 +55,6 @@ def main():
     K = np.float32([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     dirs = get_ray_directions(H, W, K)
     pose = test_ds.poses[0]
-    rays_d = (dirs @ pose[:, :3].T).astype(np.float32)
-    rays_o = np.broadcast_to(pose[:, 3], rays_d.shape).astype(np.float32)
 
     # the reference's headline FPS is measured in test.ipynb at
     # T_threshold=1e-2 (as is the GUI, show_gui.py:86) — not the
@@ -68,12 +66,12 @@ def main():
     render = make_device_round_renderer(system.ngp, system.rcfg,
                                         use_window=use_window,
                                         t_threshold=1e-2)
-    out = render(system.state.params, system.grid_state.occ_grid,
-                 rays_o, rays_d)          # compile + warm
+    out = render.from_pose(system.state.params, system.grid_state.occ_grid,
+                           dirs, pose)    # compile + warm
     t0 = time.time()
     for _ in range(args.frames):
-        out = render(system.state.params, system.grid_state.occ_grid,
-                     rays_o, rays_d)
+        out = render.from_pose(system.state.params,
+                               system.grid_state.occ_grid, dirs, pose)
     dt = (time.time() - t0) / args.frames
     fps = 1.0 / dt
     print(json.dumps({

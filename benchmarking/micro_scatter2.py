@@ -24,13 +24,18 @@ import numpy as np
 
 
 def timeit(fn, *args, n=20, warmup=3):
+    def fence(x):
+        # block_until_ready does NOT reliably block through the axon
+        # tunnel; a host readback of one element does
+        float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     return (time.time() - t0) / n * 1e3
 
 

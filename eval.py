@@ -47,15 +47,14 @@ def main():
     # FPS timing on the first test pose (test.ipynb cell 3 with cuda sync)
     ds = system.test_dataset
     pose = ds.poses[0]
-    dirs = np.asarray(ds.directions)
-    rays_d = (dirs @ pose[:, :3].T).astype(np.float32)
-    rays_o = np.broadcast_to(pose[:, 3], rays_d.shape).astype(np.float32)
-    out = system.render_image(system.state.params, system.grid_state.occ_grid,
-                              rays_o, rays_d)       # warm compile
+    out = system.render_image.from_pose(
+        system.state.params, system.grid_state.occ_grid,
+        ds.directions, pose)                        # warm compile
     t0 = time.time()
     for _ in range(args.fps_frames):
-        out = system.render_image(system.state.params,
-                                  system.grid_state.occ_grid, rays_o, rays_d)
+        out = system.render_image.from_pose(
+            system.state.params, system.grid_state.occ_grid,
+            ds.directions, pose)
         float(np.asarray(out["rgb"]).ravel()[0])    # device fence
     dt = (time.time() - t0) / args.fps_frames
     w, h = ds.img_wh

@@ -586,11 +586,13 @@ def _next_pow2(n: int) -> int:
 
 
 def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
-                               chunk: int = 65536, max_rounds: int = 512,
+                               chunk: int = 131072, max_rounds: int = 512,
                                use_window: bool = False,
                                t_threshold: Optional[float] = None,
                                mesh=None, mesh_axis: str = "data",
-                               buckets=None):
+                               buckets=None,
+                               debug_const_field: bool = False,
+                               span_super_factor: int = 4):
     """Device-resident adaptive renderer (reference rendering.py:46-118,
     re-designed for a high-latency host link).
 
@@ -617,6 +619,7 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         occupancy_lines,
         occupancy_windows,
         occupied_span,
+        occupied_span_prep,
     )
 
     ray_sharding = repl_sharding = None
@@ -658,30 +661,54 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
 
     use_span = cfg.cascades == 1 and cfg.exp_step_factor == 0.0
 
+    # Per-grid packed-occupancy cache: the window/z-line rows (~94 ms to
+    # rebuild on-chip) and the span super-grid (~20 ms) depend only on
+    # occ_grid — computing them inside the chunk renderer used to pay both
+    # PER CHUNK (8+ chunks/frame at 800^2).  The entry pins the grid array
+    # so identity can't be recycled; eval renders (grid frozen) hit the
+    # cache for every chunk of every frame.
+    _grid_cache: list = []
+    _pack_rows = jax.jit(
+        lambda g: occupancy_windows(g) if window else occupancy_lines(g))
+    # span_super_factor: 2 (64^3 super-grid) was A/B'd at 800^2 and LOST
+    # to 4 (0.35 vs 0.39 FPS) — the doubled span-pass gathers cost more
+    # than the tighter cull saved on this scene's dilated thin shells
+    _prep_span = jax.jit(
+        lambda g: occupied_span_prep(g, grid_size=cfg.grid_size,
+                                     super_factor=span_super_factor))
+
+    def _packed(occ_grid):
+        if _grid_cache and _grid_cache[0] is occ_grid:
+            return _grid_cache[1], _grid_cache[2]
+        rows = _pack_rows(occ_grid)
+        sl = _prep_span(occ_grid) if use_span else None
+        _grid_cache[:] = [occ_grid, rows, sl]
+        return rows, sl
+
     @jax.jit
-    def _span_pass(occ_grid, rays_o, rays_d):
+    def _span_pass(span_lines, rays_o, rays_d):
         """Whole-frame occupied-span pre-pass (~114 gathers/ray from a 4 KB
-        dilated super-grid).  Rays with an empty span — the majority of an
-        800^2 frame — are culled before ANY round; survivors get tight
-        [t_start, t_end) bounds at their occupied region.  The reference's
-        per-thread DDA gets this implicitly (raymarching.cu:225-233 skips
-        empty cells in-kernel); round-structured marching would otherwise
-        pay the empty space per ROUND.  Measured r5: the dominant share of
-        the 0.21 FPS frame cost at 800^2."""
+        dilated super-grid).  Rays with an empty span are culled before ANY
+        round; survivors get tight [t_start, t_end) bounds at their
+        occupied region.  The reference's per-thread DDA gets this
+        implicitly (raymarching.cu:225-233 skips empty cells in-kernel);
+        round-structured marching would otherwise pay the empty space per
+        ROUND."""
         hits = scene_hits(rays_o, rays_d, cfg.scale)
         t1s, t2s, span_steps = occupied_span(
-            rays_o, rays_d, hits[:, 0], hits[:, 1], occ_grid,
+            rays_o, rays_d, hits[:, 0], hits[:, 1], None,
             scale=cfg.scale, grid_size=cfg.grid_size,
-            dt_min=float(SQRT3) / rcfg.max_samples)
+            dt_min=float(SQRT3) / rcfg.max_samples, span_lines=span_lines,
+            super_factor=span_super_factor)
         alive = (hits[:, 0] >= 0) & (span_steps > 0)
         return t1s, t2s, alive
 
     @jax.jit
-    def _render_chunk(params, occ_grid, rays_o, rays_d,
+    def _render_chunk(params, rows, rays_o, rays_d,
                       t_start=None, t_end=None):
         N = rays_o.shape[0]
-        occ_rows = None if window else occupancy_lines(occ_grid)
-        win_rows = occupancy_windows(occ_grid) if window else None
+        occ_rows = None if window else rows
+        win_rows = rows if window else None
 
         if t_start is None:
             hits = scene_hits(rays_o, rays_d, cfg.scale)
@@ -714,19 +741,26 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
                 ro, rd = rays_o[idx], rays_d[idx]
                 te = t_end[idx]
                 ts, dts, valid, t_next, n_eff = march_rays_test_round(
-                    ro, rd, c["t_cur"][idx], te, occ_grid,
+                    ro, rd, c["t_cur"][idx], te, None,
                     cascades=cfg.cascades, scale=cfg.scale,
                     exp_step_factor=cfg.exp_step_factor,
                     grid_size=cfg.grid_size, max_samples=rcfg.max_samples,
                     n_samples=n_s, chain_length=chain, occ_rows=occ_rows,
                     win_rows=win_rows)
                 S = slots
-                xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
-                dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))
-                sigmas, rgbs = ngp.forward(params, xyz.reshape(S * n_s, 3),
-                                           dirs.reshape(S * n_s, 3))
-                sigmas = sigmas.reshape(S, n_s)
-                rgbs = rgbs.reshape(S, n_s, 3)
+                if debug_const_field:
+                    # cost-isolation mode (benchmarking only): march +
+                    # scheduling + composite without the field eval
+                    sigmas = jnp.full((S, n_s), 10.0)
+                    rgbs = jnp.full((S, n_s, 3), 0.5)
+                else:
+                    xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+                    dirs = jnp.broadcast_to(rd[:, None, :], (S, n_s, 3))
+                    sigmas, rgbs = ngp.forward(
+                        params, xyz.reshape(S * n_s, 3),
+                        dirs.reshape(S * n_s, 3))
+                    sigmas = sigmas.reshape(S, n_s)
+                    rgbs = rgbs.reshape(S, n_s, 3)
                 o2, d2, r2, a2 = composite_test_round(
                     sigmas, rgbs, dts, ts, valid,
                     c["opacity"][idx], c["depth"][idx], c["rgb"][idx],
@@ -780,7 +814,20 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         return (final["rgb"], final["depth"], final["opacity"],
                 final["total"], final["rounds"])
 
+    @jax.jit
+    def _gather_chunk(rays_o, rays_d, t1_all, t2_all, sel, real_mask):
+        """Device-side gather of a compacted chunk (sel int32 (chunk,),
+        pads index 0 and are killed via real_mask -> t_start = -1)."""
+        ro = rays_o[sel]
+        rd = rays_d[sel]
+        ts = jnp.where(real_mask, t1_all[sel], -1.0)
+        te = jnp.where(real_mask, t2_all[sel], -1.0)
+        return ro, rd, ts, te
+
     def render_image(params, occ_grid, rays_o, rays_d, bg_color=None):
+        """rays may be host numpy OR device jnp arrays (one upload at most;
+        all slicing/gathering below stays on device — the remote-tunnel
+        h2d path costs ~13 ms/MB, so a frame must not round-trip its rays)."""
         if bg_color is None:
             bg_color = 1.0 if cfg.exp_step_factor == 0 else 0.0
         N = rays_o.shape[0]
@@ -792,30 +839,31 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             return (jax.device_put(a, ray_sharding)
                     if ray_sharding is not None else a)
 
-        rays_o = np.asarray(rays_o, np.float32)
-        rays_d = np.asarray(rays_d, np.float32)
+        rows, span_lines = _packed(occ_grid)
+        rays_o = jnp.asarray(rays_o, jnp.float32)
+        rays_d = jnp.asarray(rays_d, jnp.float32)
 
         if use_span:
-            # frame-level span pass + HOST alive compaction: the number of
-            # round-loop launches scales with the rays that actually have
-            # occupied content, not the frame area (the reference keeps the
-            # same alive_indices compaction on device, rendering.py:105)
-            t1_parts, t2_parts, alive_parts = [], [], []
+            # frame-level span pass + alive compaction: round-loop launches
+            # scale with rays that have occupied content, not frame area
+            # (the reference's alive_indices analog, rendering.py:105).
+            # Launch EVERYTHING before reading ANYTHING: through a remote
+            # tunnel each blocking readback costs a full round trip, so the
+            # per-chunk sync pattern alone was ~1.9 s/frame at 800^2
+            pend = []
             for i in range(0, N, chunk):
-                ro = jnp.asarray(rays_o[i:i + chunk])
-                rd = jnp.asarray(rays_d[i:i + chunk])
+                ro = rays_o[i:i + chunk]
+                rd = rays_d[i:i + chunk]
                 pad = chunk - ro.shape[0]
                 if pad:
                     ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
                     rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-                t1s, t2s, alive = _span_pass(occ_grid, put(ro), put(rd))
+                t1s, t2s, alive = _span_pass(span_lines, put(ro), put(rd))
                 n = min(chunk, N - i)
-                t1_parts.append(np.asarray(t1s[:n]))
-                t2_parts.append(np.asarray(t2s[:n]))
-                alive_parts.append(np.asarray(alive[:n]))
-            t1_all = np.concatenate(t1_parts)
-            t2_all = np.concatenate(t2_parts)
-            alive_all = np.concatenate(alive_parts)
+                pend.append((t1s[:n], t2s[:n], alive[:n]))
+            t1_all = jnp.concatenate([p[0] for p in pend])  # device
+            t2_all = jnp.concatenate([p[1] for p in pend])
+            alive_all = np.concatenate([np.asarray(p[2]) for p in pend])
             idx = np.nonzero(alive_all)[0]
 
             rgb = np.zeros((N, 3), np.float32)
@@ -823,23 +871,21 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             opacity = np.zeros((N,), np.float32)
             total = 0
             total_rounds = 0
+            launched = []
             for i in range(0, len(idx), chunk):
                 sel = idx[i:i + chunk]
-                pad = chunk - len(sel)
-                ro = rays_o[sel]
-                rd = rays_d[sel]
-                ts = t1_all[sel]
-                te = t2_all[sel]
-                if pad:
-                    ro = np.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
-                    rd = np.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-                    ts = np.pad(ts, (0, pad), constant_values=-1.0)  # dead
-                    te = np.pad(te, (0, pad), constant_values=-1.0)
-                r, d, o, ns, rnds = _render_chunk(
-                    params, occ_grid, put(jnp.asarray(ro)),
-                    put(jnp.asarray(rd)), put(jnp.asarray(ts)),
-                    put(jnp.asarray(te)))
                 n = len(sel)
+                sel_pad = np.zeros((chunk,), np.int32)
+                sel_pad[:n] = sel
+                mask = np.zeros((chunk,), bool)
+                mask[:n] = True
+                ro, rd, ts, te = _gather_chunk(
+                    rays_o, rays_d, t1_all, t2_all,
+                    jnp.asarray(sel_pad), jnp.asarray(mask))
+                out = _render_chunk(
+                    params, rows, put(ro), put(rd), put(ts), put(te))
+                launched.append((sel, n, out))
+            for sel, n, (r, d, o, ns, rnds) in launched:
                 rgb[sel] = np.asarray(r[:n])
                 depth[sel] = np.asarray(d[:n])
                 opacity[sel] = np.asarray(o[:n])
@@ -859,13 +905,13 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         total = 0
         total_rounds = 0
         for i in range(0, N, chunk):
-            ro = jnp.asarray(rays_o[i:i + chunk], jnp.float32)
-            rd = jnp.asarray(rays_d[i:i + chunk], jnp.float32)
+            ro = rays_o[i:i + chunk]
+            rd = rays_d[i:i + chunk]
             pad = chunk - ro.shape[0]
             if pad:
                 ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            rgb, depth, opa, ns, rnds = _render_chunk(params, occ_grid,
+            rgb, depth, opa, ns, rnds = _render_chunk(params, rows,
                                                       put(ro), put(rd))
             n = min(chunk, N - i)
             rgbs.append(np.asarray(rgb[:n]))
@@ -884,6 +930,27 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
             "rounds": total_rounds,
         }
 
+    # pose-based entry: directions upload once (cached by identity), only
+    # the 3x4 pose crosses the link per frame; ray generation runs on
+    # device (the GUI/eval per-frame h2d drops from ~7 MB to 48 bytes)
+    _dirs_cache: list = []
+
+    @jax.jit
+    def _rays_from_pose(dirs_dev, pose_dev):
+        rays_d = dirs_dev @ pose_dev[:, :3].T
+        rays_o = jnp.broadcast_to(pose_dev[:, 3], rays_d.shape)
+        return rays_o, rays_d
+
+    def render_pose(params, occ_grid, directions, pose, bg_color=None):
+        if not (_dirs_cache and _dirs_cache[0] is directions):
+            _dirs_cache[:] = [directions,
+                              jnp.asarray(np.asarray(directions),
+                                          jnp.float32)]
+        rays_o, rays_d = _rays_from_pose(
+            _dirs_cache[1], jnp.asarray(np.asarray(pose, np.float32)))
+        return render_image(params, occ_grid, rays_o, rays_d, bg_color)
+
+    render_image.from_pose = render_pose
     return render_image
 
 

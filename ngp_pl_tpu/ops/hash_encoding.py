@@ -574,31 +574,29 @@ def _encode_mlp_pl_bwd(spec, bn, res, g):
     # benchmarking/micro_scatter2.py and PERF.md r5.
     import os as _os
 
-    use_pallas_scatter = (
-        _os.environ.get("NGP_SCATTER") == "pallas" and W == 128
-        and jax.default_backend() != "cpu")
+    # Measured r5 (micro_scatter2, real fence): the MXU one-hot reduction
+    # beats XLA scatter-add 1.3-2x on the DENSE coarse levels (R <= 4096);
+    # the sequential-VMEM scatter_accum LOSES everywhere (the per-sample
+    # dynamic RMW loop runs ~2x slower than XLA's scatter) and stays
+    # available for benchmarking only.  NGP_SCATTER=xla forces the old
+    # path for A/B.
+    use_onehot = (W == 128 and jax.default_backend() != "cpu"
+                  and _os.environ.get("NGP_SCATTER") != "xla")
     parts = []
     for l in range(L):
         idx_l = slot[l] - spec.offsets[l]
-        if use_pallas_scatter:
-            from ngp_pl_tpu.ops.scatter_accum import (
-                scatter_accum,
-                scatter_onehot,
-            )
+        R = spec.sizes[l]
+        if use_onehot and R <= 4096:
+            from ngp_pl_tpu.ops.scatter_accum import scatter_onehot
 
-            R = spec.sizes[l]
             Rp = -(-R // 8) * 8
-            if R <= 4096:
-                # bf16 one-hot is lossless here: d_rows are ALREADY bf16
-                p = scatter_onehot(d_rows[l].astype(jnp.float32), idx_l,
-                                   n_rows=Rp, exact=False)[:R]
-            else:
-                p = scatter_accum(d_rows[l].astype(jnp.float32), idx_l,
-                                  n_rows=Rp)[:R]
-            parts.append(p)
+            # bf16 one-hot is lossless here: d_rows are ALREADY bf16
+            parts.append(scatter_onehot(
+                d_rows[l].astype(jnp.float32), idx_l,
+                n_rows=Rp, exact=False)[:R])
         else:
             parts.append(
-                jnp.zeros((spec.sizes[l], W), jnp.float32)
+                jnp.zeros((R, W), jnp.float32)
                 .at[idx_l].add(d_rows[l].astype(jnp.float32)))
     d_table = jnp.concatenate(parts, axis=0)
     d_x = jnp.zeros((N, 3), jnp.float32)

@@ -270,8 +270,25 @@ def march_rays_test_round(
     return ts_s, dts_s, s_valid, t_next, n_eff
 
 
+def occupied_span_prep(occ_grid, *, grid_size, super_factor: int = 4):
+    """Packed dilated super-grid lines for `occupied_span` — split out so
+    eval renderers can compute it ONCE per grid instead of per chunk (the
+    reduce_window + packing over the 128^3 grid costs ~20 ms on-chip)."""
+    SG = grid_size // super_factor
+    sup = (occ_grid[0].reshape(SG, super_factor, SG, super_factor,
+                               SG, super_factor) > 0).any(axis=(1, 3, 5))
+    sup_d = jax.lax.reduce_window(
+        sup.astype(jnp.uint32), jnp.uint32(0), jax.lax.max,
+        (3, 3, 3), (1, 1, 1), "SAME")                     # (SG, SG, SG)
+    # pack z into words (SG <= 32 -> one uint32 per (x, y) line)
+    W = max(1, (SG + 31) // 32)
+    bits = sup_d.reshape(SG * SG, W, 32 if SG >= 32 else SG)
+    weights = (jnp.uint32(1) << jnp.arange(bits.shape[-1], dtype=jnp.uint32))
+    return (bits * weights[None, None, :]).sum(axis=-1)   # (SG*SG, W) uint32
+
+
 def occupied_span(rays_o, rays_d, t1, t2, occ_grid, *, scale, grid_size,
-                  dt_min, super_factor: int = 4):
+                  dt_min, super_factor: int = 4, span_lines=None):
     """Conservative per-ray bounds [t_s, t_e] of the occupied region
     (single-cascade scenes).
 
@@ -285,20 +302,18 @@ def occupied_span(rays_o, rays_d, t1, t2, occ_grid, *, scale, grid_size,
     fine march's cost is ~linear in chain steps; the coarse pass costs
     N x ~114 gathers from a 4 KB table.
 
+    span_lines: optional prebuilt occupied_span_prep output (per-grid
+    cacheable); occ_grid may be None when given.
+
     Returns (t_s, t_e, span_steps) with span_steps = per-ray needed fine
     chain steps (0 when nothing occupied).
     """
     SG = grid_size // super_factor
-    sup = (occ_grid[0].reshape(SG, super_factor, SG, super_factor,
-                               SG, super_factor) > 0).any(axis=(1, 3, 5))
-    sup_d = jax.lax.reduce_window(
-        sup.astype(jnp.uint32), jnp.uint32(0), jax.lax.max,
-        (3, 3, 3), (1, 1, 1), "SAME")                     # (SG, SG, SG)
-    # pack z into words (SG <= 32 -> one uint32 per (x, y) line)
-    W = max(1, (SG + 31) // 32)
-    bits = sup_d.reshape(SG * SG, W, 32 if SG >= 32 else SG)
-    weights = (jnp.uint32(1) << jnp.arange(bits.shape[-1], dtype=jnp.uint32))
-    lines = (bits * weights[None, None, :]).sum(axis=-1)  # (SG*SG, W) uint32
+    if span_lines is None:
+        span_lines = occupied_span_prep(occ_grid, grid_size=grid_size,
+                                        super_factor=super_factor)
+    lines = span_lines
+    W = lines.shape[-1]
 
     e = 2.0 * scale / SG
     dt_c = 0.5 * e

@@ -52,8 +52,11 @@ def scatter_accum(d_rows: jnp.ndarray, row_idx: jnp.ndarray, *,
         # adds nothing — no dump row / masking needed
         d_rows = jnp.pad(d_rows, ((0, pad), (0, 0)))
         row_idx = jnp.pad(row_idx, (0, pad), constant_values=R - 1)
-    idx2 = jnp.clip(row_idx.astype(jnp.int32), 0, R - 1).reshape(-1, 1)
+    # SMEM blocks are lane-padded to 128, so a (block, 1) layout would
+    # burn block*128 words; pack indices 128-per-row instead
+    idx2 = jnp.clip(row_idx.astype(jnp.int32), 0, R - 1).reshape(-1, 128)
     n_blocks = (P + pad) // block
+    rows_per_blk = block // 128
 
     def kernel(idx_ref, d_ref, out_ref):
         i = pl.program_id(0)
@@ -63,17 +66,17 @@ def scatter_accum(d_rows: jnp.ndarray, row_idx: jnp.ndarray, *,
             out_ref[:] = jnp.zeros_like(out_ref)
 
         def body(j, _):
-            r = idx_ref[j, 0]
+            r = idx_ref[j // 128, j % 128]
             out_ref[pl.ds(r, 1), :] += d_ref[pl.ds(j, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, block, body, 0, unroll=8)
+        jax.lax.fori_loop(0, block, body, 0)   # Mosaic: unroll 1 or full
 
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
+            pl.BlockSpec((rows_per_blk, 128), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block, W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

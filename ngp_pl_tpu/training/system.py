@@ -574,12 +574,11 @@ class NeRFSystem:
         for idx in range(jax.process_index(), n, n_proc):
             item = self.test_dataset.test_item(idx)
             pose = item["pose"]
-            dirs = self.test_dataset.directions
-            rays_d = dirs @ pose[:, :3].T
-            rays_o = np.broadcast_to(pose[:, 3], rays_d.shape)
-            out = self.render_image(self.state.params,
-                                    self.grid_state.occ_grid,
-                                    rays_o, rays_d)
+            # pose-based entry: directions upload once, rays built on
+            # device — only 48 bytes cross the link per view
+            out = self.render_image.from_pose(
+                self.state.params, self.grid_state.occ_grid,
+                self.test_dataset.directions, pose)
             pred = out["rgb"].reshape(h, w, 3)
             if "rgb" in item:
                 gt = np.asarray(item["rgb"]).reshape(h, w, 3)

@@ -78,14 +78,18 @@ class NGPGUI:
         # loop eval.py/bench_fps.py measure (one dispatch per chunk; the
         # chunked full-march renderer costs ~pool_mult x more field evals)
         rcfg = RenderConfig(max_samples=128, test_t_threshold=1e-2)
-        from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
+        from ngp_pl_tpu.ops.ray_march import (
+            segment_march_dmax_ok,
+            window_march_mc_ok,
+        )
 
         dirs = get_ray_directions(img_wh[1], img_wh[0], K)
         window_ok = (
             cfg.cascades == 1 and cfg.exp_step_factor == 0.0
             and segment_march_dmax_ok(
                 dirs, grid_size=cfg.grid_size,
-                max_samples=rcfg.max_samples, scale=cfg.scale))
+                max_samples=rcfg.max_samples, scale=cfg.scale)
+        ) or window_march_mc_ok(dirs, cfg.exp_step_factor, cfg.cascades)
         self.render_image = make_device_round_renderer(
             self.ngp, rcfg, use_window=window_ok)
         self.cam = OrbitCamera(K, img_wh, r=radius)
@@ -93,14 +97,17 @@ class NGPGUI:
 
     def render_cam(self, cam: OrbitCamera) -> np.ndarray:
         t = time.time()
-        directions = get_ray_directions(cam.H, cam.W, cam.K)
-        pose = cam.pose
-        rays_d = directions @ pose[:, :3].T
-        rays_o = np.broadcast_to(pose[:, 3], rays_d.shape)
-        out = self.render_image(self.params, self.occ_grid, rays_o, rays_d)
+        key = (cam.H, cam.W, cam.K.tobytes())
+        if getattr(self, "_dirs_key", None) != key:
+            # camera intrinsics change only on resize — keep directions
+            # stable so the renderer's device-side cache hits every frame
+            self._dirs_key = key
+            self._dirs = get_ray_directions(cam.H, cam.W, cam.K)
+        out = self.render_image.from_pose(
+            self.params, self.occ_grid, self._dirs, cam.pose)
         rgb = out["rgb"].reshape(cam.H, cam.W, 3)
         self.dt = time.time() - t
-        self.mean_samples = out["total_samples"] / len(rays_o)
+        self.mean_samples = out["total_samples"] / (cam.H * cam.W)
         return rgb
 
     def run_gui(self):
