@@ -47,10 +47,12 @@ def main():
                        exp_name="bench_mc", no_save_test=True,
                        scale=args.scale)
     ws = args.scale / 0.5          # content fills the box like the ws=1 scene
+    # exp-stepping training composites on BLACK background (reference
+    # real-scene convention, rendering.py:153-161) — GT must match
     train_ds = SyntheticDataset(split="train", img_size=args.img_size,
-                                n_train=8, world_scale=ws)
+                                n_train=8, world_scale=ws, bg=0.0)
     test_ds = SyntheticDataset(split="test", img_size=args.img_size,
-                               n_test=2, world_scale=ws)
+                               n_test=2, world_scale=ws, bg=0.0)
     system = NeRFSystem(tcfg, train_dataset=train_ds, test_dataset=test_ds)
     print(f"cascades {system.cfg.cascades} exp_step_factor "
           f"{system.cfg.exp_step_factor} window_march {system.window_march} "

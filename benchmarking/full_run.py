@@ -95,7 +95,7 @@ def main():
         m = system.step_block()
         skip_counters.append(m["n_skipped"])
         step_now = (i + 1) * nb
-        if step_now % 4096 == 0 and step_now < steps:
+        if step_now % 2048 == 0 and step_now < steps:
             os.makedirs(os.path.dirname(ck), exist_ok=True)
             system.save(ck)
         if step_now % 1024 == 0 or step_now == steps:

@@ -68,7 +68,7 @@ def _lookat_pose(cam_pos: np.ndarray) -> np.ndarray:
 _GT_CACHE = {}
 
 
-def _jax_gt_renderer(n_steps, t_near, t_far, world_scale=1.0):
+def _jax_gt_renderer(n_steps, t_near, t_far, world_scale=1.0, bg=1.0):
     """Jitted exact renderer of the analytic field (scan over depth).
 
     world_scale ws scales the scene geometrically (centers, radii, edge
@@ -111,23 +111,23 @@ def _jax_gt_renderer(n_steps, t_near, t_far, world_scale=1.0):
         N = rays_o.shape[0]
         init = (jnp.zeros((N, 3)), jnp.zeros(N), jnp.ones(N))
         (rgb_acc, depth_acc, T), _ = jax.lax.scan(body, init, ts)
-        return rgb_acc + T[:, None], depth_acc, 1.0 - T
+        return rgb_acc + bg * T[:, None], depth_acc, 1.0 - T
 
     return render
 
 
 def render_gt(rays_o, rays_d, n_steps=384, t_near=0.6, t_far=2.6,
-              world_scale=1.0):
+              world_scale=1.0, bg=1.0):
     """Exact dense volume render of the analytic field (white background).
 
     Host-side data prep: pinned to the CPU backend so it never pays a remote
     TPU compile."""
     import jax
 
-    key = (n_steps, t_near, t_far, world_scale)
+    key = (n_steps, t_near, t_far, world_scale, bg)
     if key not in _GT_CACHE:
         _GT_CACHE[key] = _jax_gt_renderer(n_steps, t_near, t_far,
-                                          world_scale)
+                                          world_scale, bg)
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -153,7 +153,7 @@ class SyntheticDataset(BaseDataset):
 
     def __init__(self, root_dir="", split="train", downsample=1.0,
                  img_size=128, n_train=24, n_test=4, seed=0,
-                 world_scale=1.0, **kwargs):
+                 world_scale=1.0, bg=1.0, **kwargs):
         super().__init__(root_dir, split, downsample)
         w = h = int(img_size * downsample)
         f = 1.2 * w
@@ -184,6 +184,6 @@ class SyntheticDataset(BaseDataset):
                 rgb, _, _ = render_gt(
                     ro, rd, t_near=0.6 * self.world_scale,
                     t_far=2.6 * self.world_scale,
-                    world_scale=self.world_scale)
+                    world_scale=self.world_scale, bg=bg)
                 rays.append(rgb)
             self.rays = np.stack(rays).astype(np.float32)

@@ -171,8 +171,14 @@ class NeRFSystem:
         # the grid prunes).
         # multiples of 8: per-sample cost scales linearly with S, so coarse
         # power-of-2 buckets would pay up to 2x for a few % of demand
-        # overshoot; each bucket is one extra jit variant (cheap, cached)
+        # overshoot; each bucket is one extra jit variant (cheap, cached).
+        # exp-stepping scenes (scale > 0.5) carry 2-3x the per-ray occupied
+        # counts (coarse cascades mark large regions); capping at 64 locked
+        # the scale-4 bench into permanent pool saturation (measured r5:
+        # rm_s pinned at the cap, most of each batch dropped)
         self._pool_buckets = (8, 16, 24, 32, 40, 48, 56, 64)
+        if self.cfg.exp_step_factor > 0:
+            self._pool_buckets += (96, 128, 160)
         self._pool_mult = self.rcfg.train_pool_mult
         self._pool_demand = 0.0
         # sample layout, auto-selected from the observed demand shape:
