@@ -63,9 +63,10 @@ def main():
     from ngp_pl_tpu.ops.ray_march import segment_march_dmax_ok
 
     use_window = segment_march_dmax_ok(dirs, scale=system.cfg.scale)
+    chunk = min(131072, 1 << (W * H - 1).bit_length())
     render = make_device_round_renderer(system.ngp, system.rcfg,
                                         use_window=use_window,
-                                        t_threshold=1e-2)
+                                        t_threshold=1e-2, chunk=chunk)
     out = render.from_pose(system.state.params, system.grid_state.occ_grid,
                            dirs, pose)    # compile + warm
     t0 = time.time()

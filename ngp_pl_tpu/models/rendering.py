@@ -704,6 +704,15 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         return t1s, t2s, alive
 
     @jax.jit
+    def _render_fused(params, rows, span_lines, rays_o, rays_d):
+        """Single-dispatch frame: span + cull + the whole round loop as ONE
+        XLA program.  For frames that fit one chunk (GUI preview, small
+        eval) this cuts the per-frame remote round trips from ~6 to 2."""
+        t1s, t2s, alive = _span_pass(span_lines, rays_o, rays_d)
+        t_start = jnp.where(alive, t1s, -1.0)
+        return _render_chunk(params, rows, rays_o, rays_d, t_start, t2s)
+
+    @jax.jit
     def _render_chunk(params, rows, rays_o, rays_d,
                       t_start=None, t_end=None):
         N = rays_o.shape[0]
@@ -842,6 +851,27 @@ def make_device_round_renderer(ngp: NGP, rcfg: RenderConfig,
         rows, span_lines = _packed(occ_grid)
         rays_o = jnp.asarray(rays_o, jnp.float32)
         rays_d = jnp.asarray(rays_d, jnp.float32)
+
+        if use_span and N <= chunk:
+            # single-chunk frame (GUI preview / small eval): ONE fused
+            # dispatch — span, cull, and round loop in one XLA program
+            ro, rd = rays_o, rays_d
+            pad = chunk - N
+            if pad:
+                ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            r, d, o, ns, rnds = _render_fused(
+                params, rows, span_lines, put(ro), put(rd))
+            opacity = np.asarray(o[:N])
+            rgb = (np.asarray(r[:N])
+                   + np.asarray(bg_color) * (1.0 - opacity[:, None]))
+            return {
+                "rgb": rgb,
+                "depth": np.asarray(d[:N]),
+                "opacity": opacity,
+                "total_samples": int(ns),
+                "rounds": int(rnds),
+            }
 
         if use_span:
             # frame-level span pass + alive compaction: round-loop launches

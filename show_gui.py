@@ -90,8 +90,9 @@ class NGPGUI:
                 dirs, grid_size=cfg.grid_size,
                 max_samples=rcfg.max_samples, scale=cfg.scale)
         ) or window_march_mc_ok(dirs, cfg.exp_step_factor, cfg.cascades)
+        chunk = min(131072, 1 << (img_wh[0] * img_wh[1] - 1).bit_length())
         self.render_image = make_device_round_renderer(
-            self.ngp, rcfg, use_window=window_ok)
+            self.ngp, rcfg, use_window=window_ok, chunk=chunk)
         self.cam = OrbitCamera(K, img_wh, r=radius)
         self.W, self.H = img_wh
 
